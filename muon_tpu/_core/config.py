@@ -1,0 +1,50 @@
+"""Global options store with context-manager semantics.
+
+Parity with ``mu.set_options`` (reference muon/_core/config.py:3-51), plus
+TPU-specific options that control the compute backend.
+"""
+
+from __future__ import annotations
+
+OPTIONS = {
+    # TPU/JAX backend options (new in muon_tpu)
+    "device": "auto",        # "auto" | "tpu" | "cpu"
+    "use_pallas": "auto",    # "auto" | True | False — use Pallas kernels when on TPU
+    "compute_dtype": "float32",
+    "display_style": "text",  # kept for mudata-parity ("text" | "html")
+}
+
+_VALID_OPTIONS = {
+    "device": lambda x: x in ("auto", "tpu", "cpu", "gpu"),
+    "use_pallas": lambda x: x in ("auto", True, False),
+    "compute_dtype": lambda x: x in ("float32", "float64", "bfloat16"),
+    "display_style": lambda x: x in ("text", "html"),
+}
+
+
+class set_options:
+    """Set global options, usable directly or as a context manager::
+
+        mu.set_options(compute_dtype="float32")
+        with mu.set_options(device="cpu"):
+            ...
+    """
+
+    def __init__(self, **kwargs):
+        self.old = {}
+        for k, v in kwargs.items():
+            if k not in OPTIONS:
+                raise ValueError(
+                    f"argument name {k!r} is not in the set of valid options "
+                    f"{set(OPTIONS)}"
+                )
+            if k in _VALID_OPTIONS and not _VALID_OPTIONS[k](v):
+                raise ValueError(f"option {k!r} given an invalid value: {v!r}")
+            self.old[k] = OPTIONS[k]
+        OPTIONS.update(kwargs)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *args):
+        OPTIONS.update(self.old)
