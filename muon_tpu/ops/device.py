@@ -1,0 +1,42 @@
+"""Device/dtype resolution for the compute layer."""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
+def jax_mod():
+    import jax
+
+    return jax
+
+
+def compute_dtype():
+    import jax.numpy as jnp
+
+    from .._core.config import OPTIONS
+
+    return {
+        "float32": jnp.float32,
+        "float64": jnp.float64,
+        "bfloat16": jnp.bfloat16,
+    }[OPTIONS["compute_dtype"]]
+
+
+def on_tpu() -> bool:
+    jax = jax_mod()
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def use_pallas() -> bool:
+    from .._core.config import OPTIONS
+
+    opt = OPTIONS["use_pallas"]
+    if opt == "auto":
+        return on_tpu()
+    return bool(opt)

@@ -1,0 +1,137 @@
+"""Dense/sparse linear algebra on TPU: randomized truncated SVD, PCA.
+
+Replaces the reference's ARPACK ``svds`` (muon/_atac/tools.py:53) with a
+randomized subspace-iteration SVD (Halko et al. 2011) built on SpMM +
+XLA QR — MXU-friendly: the sketch is a skinny dense matrix, so every
+FLOP is a large matmul. Exact f32 operands (no bf16 densification) keep
+factor parity with the CPU reference at the 1e-5 cosine level.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+from scipy import sparse as sp
+
+from .sparse import DeviceCOO, from_scipy, spmm, spmm_t
+
+__all__ = ["randomized_svd", "truncated_svd", "pca"]
+
+
+@lru_cache(maxsize=1)
+def _jax():
+    import jax
+    import jax.numpy as jnp
+
+    return jax, jnp
+
+
+def randomized_svd(
+    X,
+    k: int,
+    n_oversample: int = 10,
+    n_iter: int = 7,
+    seed: int = 0,
+):
+    """Truncated SVD of a DeviceCOO / dense array via randomized subspace
+    iteration. Returns (U [n,k], s [k], Vt [k,d]) in descending order."""
+    jax, jnp = _jax()
+    if sp.issparse(X):
+        X = from_scipy(X)
+
+    if isinstance(X, DeviceCOO):
+        n, d = X.shape
+        mv = lambda B: spmm(X, B)       # noqa: E731  (n,k) <- (d,k)
+        rmv = lambda B: spmm_t(X, B)    # noqa: E731  (d,k) <- (n,k)
+    else:
+        X = jnp.asarray(X)
+        n, d = X.shape
+        mv = lambda B: X @ B            # noqa: E731
+        rmv = lambda B: X.T @ B         # noqa: E731
+
+    l = min(k + n_oversample, min(n, d))
+    key = jax.random.PRNGKey(seed)
+    Omega = jax.random.normal(key, (d, l), dtype=jnp.float32)
+
+    Y = mv(Omega)
+    Q, _ = jnp.linalg.qr(Y)
+    for _ in range(n_iter):
+        Z, _ = jnp.linalg.qr(rmv(Q))
+        Q, _ = jnp.linalg.qr(mv(Z))
+    B = rmv(Q).T  # (l, d)
+    Ub, s_, Vt = jnp.linalg.svd(B, full_matrices=False)
+    U = Q @ Ub
+    return U[:, :k], s_[:k], Vt[:k]
+
+
+# alias matching scipy naming
+truncated_svd = randomized_svd
+
+
+def pca(
+    X,
+    n_comps: int = 50,
+    center: bool = True,
+    seed: int = 0,
+    n_iter: int = 7,
+):
+    """PCA via randomized SVD; supports sparse input without densifying.
+
+    For sparse X, centering is folded into the matvec analytically
+    ((X - 1 μᵀ) B = X B - 1 (μᵀ B)) so sparsity is preserved — the TPU
+    analogue of sklearn's implicitly-centered sparse PCA used by the
+    reference via scanpy (SURVEY §2.5 sklearn ledger row).
+
+    Returns (components_scores [n,k], loadings [d,k], explained_variance [k],
+    explained_variance_ratio [k])."""
+    jax, jnp = _jax()
+    was_sparse = sp.issparse(X)
+    if was_sparse:
+        Xd = from_scipy(X)
+        n, d = Xd.shape
+        mu = jnp.asarray(np.asarray(X.mean(axis=0)).ravel(), dtype=jnp.float32)
+        total_var = float(
+            np.asarray((X.multiply(X)).sum()) / (n - 1)
+            - float(jnp.sum(mu**2)) * n / (n - 1)
+        )
+
+        def mv(B):
+            out = spmm(Xd, B)
+            if center:
+                out = out - (mu @ B)[None, :]
+            return out
+
+        def rmv(B):
+            out = spmm_t(Xd, B)
+            if center:
+                out = out - mu[:, None] * jnp.sum(B, axis=0)[None, :]
+            return out
+
+    elif isinstance(X, DeviceCOO):
+        raise TypeError("pass scipy sparse or dense for pca")
+    else:
+        X = jnp.asarray(X, dtype=jnp.float32)
+        n, d = X.shape
+        mu = X.mean(axis=0)
+        Xc = X - mu if center else X
+        total_var = float(jnp.sum(Xc * Xc) / (n - 1))
+        mv = lambda B: Xc @ B     # noqa: E731
+        rmv = lambda B: Xc.T @ B  # noqa: E731
+
+    k = min(n_comps, min(n, d) - 1 if center else min(n, d))
+    l = min(k + 10, min(n, d))
+    key = jax.random.PRNGKey(seed)
+    Omega = jax.random.normal(key, (d, l), dtype=jnp.float32)
+    Q, _ = jnp.linalg.qr(mv(Omega))
+    for _ in range(n_iter):
+        Z, _ = jnp.linalg.qr(rmv(Q))
+        Q, _ = jnp.linalg.qr(mv(Z))
+    B = rmv(Q).T
+    Ub, s_, Vt = jnp.linalg.svd(B, full_matrices=False)
+    U = Q @ Ub
+    U, s_, Vt = U[:, :k], s_[:k], Vt[:k]
+    ev = (s_**2) / (n - 1)
+    evr = ev / total_var if total_var > 0 else ev * 0
+    scores = U * s_[None, :]
+    return scores, Vt.T, ev, evr

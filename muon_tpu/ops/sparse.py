@@ -1,0 +1,276 @@
+"""Sparse count matrices on TPU: flat padded-COO layout + XLA segment kernels.
+
+TPUs have no native sparse support (SURVEY §7 "hard parts" #1). The layout
+here is a flat, padded coordinate format sorted by row (CSR order), with a
+precomputed by-column permutation for transposed products:
+
+    data  (nnz_pad,) f32   — padded entries are 0
+    row   (nnz_pad,) i32   — padded entries = n_rows (extra segment)
+    col   (nnz_pad,) i32   — padded entries = n_cols
+    perm_bycol (nnz_pad,) i32 — permutation that sorts entries by column
+
+Everything the reference does with scipy.sparse diagonal matmuls
+(muon/_atac/preproc.py:92-114) becomes elementwise math on the ``data``
+vector plus segment reductions — ideal for the VPU, with SpMM feeding the
+MXU via skinny dense operands. All kernels are jit-compiled once (cached
+via ``lru_cache``); the nnz axis is padded to a static multiple so shapes
+never retrace.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import NamedTuple, Tuple
+
+import numpy as np
+from scipy import sparse as sp
+
+__all__ = [
+    "DeviceCOO",
+    "from_scipy",
+    "to_scipy_data",
+    "row_sums",
+    "col_sums",
+    "spmm",
+    "spmm_t",
+    "tfidf_data",
+    "scale_rows_data",
+    "binarize_data",
+]
+
+
+class DeviceCOO(NamedTuple):
+    """Device-resident sparse matrix in padded COO (row-major order)."""
+
+    data: object  # jnp (nnz_pad,)
+    row: object   # jnp (nnz_pad,) int32
+    col: object   # jnp (nnz_pad,) int32
+    perm_bycol: object  # jnp (nnz_pad,) int32
+    n_rows: int
+    n_cols: int
+    nnz: int
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n_rows, self.n_cols)
+
+
+@lru_cache(maxsize=1)
+def _jax():
+    import jax
+    import jax.numpy as jnp
+
+    def flatten(x):
+        return (x.data, x.row, x.col, x.perm_bycol), (x.n_rows, x.n_cols, x.nnz)
+
+    def unflatten(aux, children):
+        return DeviceCOO(*children, *aux)
+
+    jax.tree_util.register_pytree_node(DeviceCOO, flatten, unflatten)
+    return jax, jnp
+
+
+def from_scipy(X, pad_multiple: int = 8192, dtype=None) -> DeviceCOO:
+    """Upload a scipy sparse matrix into padded device COO."""
+    jax, jnp = _jax()
+    X = X.tocsr()
+    n, d = X.shape
+    nnz = X.nnz
+    coo = X.tocoo()
+    pad = max(pad_multiple, ((nnz + pad_multiple - 1) // pad_multiple) * pad_multiple)
+    if dtype is None:
+        # keep f64 inputs exact when the backend supports it (CPU parity
+        # tests); f32 otherwise (TPU production path)
+        if X.dtype == np.float64 and jax.config.jax_enable_x64:
+            dtype = np.float64
+        else:
+            dtype = np.float32
+    data = np.zeros(pad, dtype=dtype)
+    row = np.full(pad, n, dtype=np.int32)
+    col = np.full(pad, d, dtype=np.int32)
+    data[:nnz] = coo.data
+    row[:nnz] = coo.row
+    col[:nnz] = coo.col
+    # by-column permutation (padding sorts to the end since col == d there)
+    perm = np.argsort(col, kind="stable").astype(np.int32)
+    return DeviceCOO(
+        jnp.asarray(data), jnp.asarray(row), jnp.asarray(col), jnp.asarray(perm),
+        n, d, nnz,
+    )
+
+
+def to_scipy_data(X_csr, new_data) -> sp.csr_matrix:
+    """Rebuild a scipy CSR with the same sparsity pattern but new values.
+    (Structure-preserving transforms — TF-IDF, binarize, CLR — only touch
+    the value vector.)"""
+    out = X_csr.copy()
+    new = np.asarray(new_data)[: X_csr.nnz]
+    out.data = new
+    return out
+
+
+# ---------------------------------------------------------------------------
+# jitted kernels (built once, cached)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _row_sums_fn():
+    jax, jnp = _jax()
+
+    @jax.jit
+    def f(X):
+        s = jax.ops.segment_sum(
+            X.data, X.row, num_segments=X.n_rows + 1, indices_are_sorted=True
+        )
+        return s[: X.n_rows]
+
+    return f
+
+
+@lru_cache(maxsize=None)
+def _col_sums_fn():
+    jax, jnp = _jax()
+
+    @jax.jit
+    def f(X):
+        s = jax.ops.segment_sum(X.data, X.col, num_segments=X.n_cols + 1)
+        return s[: X.n_cols]
+
+    return f
+
+
+def row_sums(X: DeviceCOO):
+    return _row_sums_fn()(X)
+
+
+def col_sums(X: DeviceCOO):
+    return _col_sums_fn()(X)
+
+
+def _chunk_count(nnz_pad: int, k: int, budget_bytes: int = 1 << 30) -> int:
+    """Number of scan chunks so the (chunk, k) gather stays under budget."""
+    per_entry = 4 * max(k, 1)
+    chunk = max(8192, budget_bytes // per_entry)
+    c = max(1, -(-nnz_pad // chunk))
+    while nnz_pad % c:
+        c += 1
+    return c
+
+
+@lru_cache(maxsize=None)
+def _spmm_fn():
+    jax, jnp = _jax()
+
+    @partial(jax.jit, static_argnames=("C", "transpose"))
+    def f(X, B, C, transpose):
+        chunk = X.data.shape[0] // C
+        Bp = jnp.concatenate([B, jnp.zeros((1, B.shape[1]), B.dtype)], axis=0)
+        if transpose:
+            perm = X.perm_bycol
+            data, seg, gat = X.data[perm], X.col[perm], X.row[perm]
+            n_out = X.n_cols
+        else:
+            data, seg, gat = X.data, X.row, X.col
+            n_out = X.n_rows
+
+        def body(acc, args):
+            d, s, g = args
+            return acc.at[s].add(d[:, None] * Bp[g]), None
+
+        acc = jnp.zeros((n_out + 1, B.shape[1]),
+                        jnp.promote_types(X.data.dtype, B.dtype))
+        acc, _ = jax.lax.scan(
+            body, acc,
+            (data.reshape(C, chunk), seg.reshape(C, chunk), gat.reshape(C, chunk)),
+        )
+        return acc[:n_out]
+
+    return f
+
+
+def spmm(X: DeviceCOO, B):
+    """X @ B — gather rows of B by column id, scale, segment-sum by row id.
+
+    Exact f32 (no densification), chunked over the nnz axis to bound the
+    gather intermediate. Replaces scipy CSR matmul at the reference's
+    LSI/TF-IDF call sites (muon/_atac/tools.py:53, preproc.py:96)."""
+    C = _chunk_count(X.data.shape[0], B.shape[1])
+    return _spmm_fn()(X, B, C, False)
+
+
+def spmm_t(X: DeviceCOO, B):
+    """Xᵀ @ B for B of shape (n_rows, k) — same data, column segments."""
+    C = _chunk_count(X.data.shape[0], B.shape[1])
+    return _spmm_fn()(X, B, C, True)
+
+
+@lru_cache(maxsize=None)
+def _tfidf_fn():
+    jax, jnp = _jax()
+
+    @partial(jax.jit, static_argnames=("log_tf", "log_idf", "log_tfidf", "scale"))
+    def f(X, log_tf, log_idf, log_tfidf, scale):
+        rs = jax.ops.segment_sum(
+            X.data, X.row, num_segments=X.n_rows + 1, indices_are_sorted=True
+        )
+        cs = jax.ops.segment_sum(X.data, X.col, num_segments=X.n_cols + 1)
+        tf = X.data / rs[X.row]
+        tf = jnp.where(jnp.isfinite(tf), tf, 0.0)
+        if scale is not None and scale not in (0, 1):
+            tf = tf * scale
+        if log_tf:
+            tf = jnp.log1p(tf)
+        idf = X.n_rows / cs
+        if log_idf:
+            idf = jnp.log1p(idf)
+        out = tf * jnp.concatenate([idf, jnp.zeros((1,), idf.dtype)])[X.col]
+        if log_tfidf:
+            out = jnp.log1p(out)
+        return jnp.where(jnp.isfinite(out), out, 0.0)
+
+    return f
+
+
+def tfidf_data(
+    X: DeviceCOO,
+    log_tf: bool = True,
+    log_idf: bool = True,
+    log_tfidf: bool = False,
+    scale_factor: float = 1e4,
+):
+    """Fused TF-IDF on the value vector (semantics of reference
+    muon/_atac/preproc.py:85-119)."""
+    sf = None if scale_factor is None else float(scale_factor)
+    return _tfidf_fn()(X, log_tf, log_idf, log_tfidf, sf)
+
+
+@lru_cache(maxsize=None)
+def _scale_rows_fn():
+    jax, jnp = _jax()
+
+    @jax.jit
+    def f(X, s):
+        sp_ = jnp.concatenate([s, jnp.zeros((1,), s.dtype)])
+        return X.data * sp_[X.row]
+
+    return f
+
+
+def scale_rows_data(X: DeviceCOO, row_scale):
+    return _scale_rows_fn()(X, row_scale)
+
+
+@lru_cache(maxsize=None)
+def _binarize_fn():
+    jax, jnp = _jax()
+
+    @jax.jit
+    def f(X):
+        return jnp.where(X.data != 0, 1.0, 0.0).astype(X.data.dtype)
+
+    return f
+
+
+def binarize_data(X: DeviceCOO):
+    return _binarize_fn()(X)

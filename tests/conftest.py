@@ -2,17 +2,27 @@
 sharding paths are exercised without TPU hardware (SURVEY §4: TPU addition)."""
 
 import os
-
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
-
 import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# x64 on for tests: f64 inputs keep reference (numpy) precision, so golden
+# values match to the printed decimal. TPU production runs f32.
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+# Single-core machine: the persistent compilation cache makes repeated
+# test runs skip XLA recompiles entirely.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+# The axon sitecustomize may have registered the TPU PJRT plugin at
+# interpreter startup (importing jax before this conftest runs), making
+# env-var overrides too late. Backends initialize lazily, so forcing the
+# platform through jax.config still works here — giving the 8-device
+# virtual CPU mesh the multi-chip sharding tests need (SURVEY §4).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

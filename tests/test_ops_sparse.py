@@ -1,0 +1,149 @@
+"""Device sparse ops: COO kernels vs scipy ground truth."""
+
+import numpy as np
+import pytest
+from scipy import sparse as sp
+
+from muon_tpu.ops import sparse as dsp
+from muon_tpu.ops.linalg import randomized_svd, pca
+
+
+@pytest.fixture()
+def X():
+    rng = np.random.default_rng(0)
+    return sp.random(73, 41, density=0.15, random_state=3, format="csr").astype(
+        np.float32
+    )
+
+
+class TestCOO:
+    def test_roundtrip_sums(self, X):
+        d = dsp.from_scipy(X)
+        assert np.allclose(np.asarray(dsp.row_sums(d)), X.sum(axis=1).A1 if hasattr(X.sum(axis=1), "A1") else np.asarray(X.sum(axis=1)).ravel(), atol=1e-5)
+        assert np.allclose(np.asarray(dsp.col_sums(d)), np.asarray(X.sum(axis=0)).ravel(), atol=1e-5)
+
+    def test_spmm(self, X):
+        d = dsp.from_scipy(X)
+        rng = np.random.default_rng(1)
+        B = rng.normal(size=(41, 7)).astype(np.float32)
+        out = np.asarray(dsp.spmm(d, B))
+        assert np.allclose(out, X @ B, atol=1e-4)
+
+    def test_spmm_t(self, X):
+        d = dsp.from_scipy(X)
+        rng = np.random.default_rng(2)
+        B = rng.normal(size=(73, 5)).astype(np.float32)
+        out = np.asarray(dsp.spmm_t(d, B))
+        assert np.allclose(out, X.T @ B, atol=1e-4)
+
+    def test_scale_rows(self, X):
+        d = dsp.from_scipy(X)
+        s = np.arange(73, dtype=np.float32)
+        new = np.asarray(dsp.scale_rows_data(d, s))
+        ref = sp.dia_matrix((s, 0), shape=(73, 73)) @ X
+        assert np.allclose(dsp.to_scipy_data(X, new).toarray(), ref.toarray(), atol=1e-5)
+
+    def test_binarize(self, X):
+        d = dsp.from_scipy(X)
+        b = np.asarray(dsp.binarize_data(d))
+        assert set(np.unique(b[: X.nnz])) <= {0.0, 1.0}
+
+
+class TestSVD:
+    def test_randomized_svd_vs_dense(self, X):
+        dense = X.toarray()
+        U, s, Vt = randomized_svd(X, k=10, n_iter=10, seed=0)
+        _, s_ref, _ = np.linalg.svd(dense, full_matrices=False)
+        assert np.allclose(np.asarray(s), s_ref[:10], rtol=1e-3)
+        # reconstruction of the dominant subspace
+        approx = np.asarray(U) * np.asarray(s) @ np.asarray(Vt)
+        full10 = (
+            np.linalg.svd(dense, full_matrices=False)[0][:, :10]
+            * s_ref[:10]
+        ) @ np.linalg.svd(dense, full_matrices=False)[2][:10]
+        assert np.allclose(approx, full10, atol=5e-3)
+
+    def test_singular_vector_cosine(self):
+        # structured low-rank + noise: spectral gaps exist, so individual
+        # singular vectors are well-conditioned and must match ARPACK-style
+        # dense SVD to high precision (BASELINE.md parity row)
+        rng = np.random.default_rng(7)
+        Z = rng.normal(size=(73, 5)) * np.array([10.0, 8.0, 6.0, 4.0, 2.0])
+        W = rng.normal(size=(5, 41))
+        dense = (Z @ W + 0.01 * rng.normal(size=(73, 41))).astype(np.float32)
+        Xs = sp.csr_matrix(dense)
+        U, s, Vt = randomized_svd(Xs, k=5, n_iter=12, seed=0)
+        Ur, sr, Vtr = np.linalg.svd(dense.astype(np.float64), full_matrices=False)
+        for i in range(5):
+            c = abs(np.dot(np.asarray(U)[:, i], Ur[:, i]))
+            assert c > 1 - 1e-5, f"component {i}: cosine {c}"
+
+    def test_pca_sparse_matches_dense(self, X):
+        scores, loadings, ev, evr = pca(X, n_comps=5, n_iter=10)
+        # dense reference PCA
+        dense = X.toarray().astype(np.float64)
+        Xc = dense - dense.mean(axis=0)
+        Ur, sr, Vtr = np.linalg.svd(Xc, full_matrices=False)
+        ref_scores = Ur[:, :5] * sr[:5]
+        for i in range(5):
+            c = abs(
+                np.dot(np.asarray(scores)[:, i], ref_scores[:, i])
+                / (
+                    np.linalg.norm(np.asarray(scores)[:, i])
+                    * np.linalg.norm(ref_scores[:, i])
+                )
+            )
+            assert c > 1 - 1e-4
+        ref_ev = sr[:5] ** 2 / (X.shape[0] - 1)
+        assert np.allclose(np.asarray(ev), ref_ev, rtol=1e-3)
+
+
+class TestLSI:
+    def test_lsi_outputs(self):
+        import muon_tpu as mu
+        from muon_tpu import atac as ac
+
+        np.random.seed(11)
+        X = sp.random(60, 40, density=0.3, format="csr").astype(np.float32)
+        ad = mu.AnnData(X)
+        ac.pp.tfidf(ad)
+        ac.tl.lsi(ad, n_comps=10)
+        assert ad.obsm["X_lsi"].shape == (60, 10)
+        assert ad.varm["LSI"].shape == (40, 10)
+        assert ad.uns["lsi"]["stdev"].shape == (10,)
+        # z-scored embeddings
+        assert np.allclose(ad.obsm["X_lsi"].mean(axis=0), 0, atol=1e-4)
+        assert np.allclose(ad.obsm["X_lsi"].std(axis=0), 1, atol=1e-3)
+
+    def test_lsi_matches_arpack(self):
+        """Factor parity vs scipy svds on planted-cluster scATAC-like data
+        (BASELINE.md numeric-parity row). Clustered data has real spectral
+        gaps, so individual components must match."""
+        import muon_tpu as mu
+        from muon_tpu import atac as ac
+        from scipy.sparse.linalg import svds
+
+        rng = np.random.default_rng(5)
+        n, d, g = 90, 60, 5
+        dense = rng.poisson(0.2, size=(n, d)).astype(np.float64)
+        for i in range(g):  # planted peak blocks per cell group
+            dense[i * (n // g):(i + 1) * (n // g), i * (d // g):(i + 1) * (d // g)] += \
+                rng.poisson(3.0, size=(n // g, d // g))
+        X = sp.csr_matrix(dense)
+        ad = mu.AnnData(sp.csr_matrix(dense.astype(np.float32)))
+        ac.pp.tfidf(ad)
+        ac.tl.lsi(ad, n_comps=5, scale_embeddings=True, n_iter=12)
+        # reference path: scipy TF-IDF + ARPACK svds in float64
+        tf = np.log1p(np.nan_to_num(dense / dense.sum(1, keepdims=True)) * 1e4)
+        idf = np.log1p(n / dense.sum(0, keepdims=True))
+        Xt = sp.csr_matrix(tf * idf)
+        u, s_, vt = svds(Xt, k=5)
+        u, s_ = u[:, ::-1], s_[::-1]
+        ref = (u - u.mean(axis=0)) / u.std(axis=0)
+        for i in range(5):
+            c = abs(
+                np.dot(ad.obsm["X_lsi"][:, i], ref[:, i])
+                / (np.linalg.norm(ad.obsm["X_lsi"][:, i]) * np.linalg.norm(ref[:, i]))
+            )
+            assert c > 1 - 1e-5, f"comp {i} cosine {c}"
+        assert np.allclose(ad.uns["lsi"]["stdev"], s_ / np.sqrt(n - 1), rtol=1e-3)
