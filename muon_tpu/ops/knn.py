@@ -1,0 +1,124 @@
+"""Exact batched k-nearest-neighbors on TPU.
+
+Replaces pynndescent NN-descent (reference muon/_core/preproc.py:24-26,
+452,520) with brute-force blocked distances + top-k: tile-wise ``QCᵀ``
+matmuls ride the MXU, ``lax.top_k`` selects per block, and a scan over row
+blocks bounds memory at (block × n). Exact kNN removes the reference's
+approximation variance (SURVEY §7 step 4).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+
+__all__ = ["knn", "pairwise_sq_dists"]
+
+
+@lru_cache(maxsize=1)
+def _jax():
+    import jax
+    import jax.numpy as jnp
+
+    return jax, jnp
+
+
+def _block_rows(n: int, d: int, budget: int = 1 << 28) -> int:
+    """Row-block size so the (block × n) distance tile stays under budget."""
+    b = max(128, budget // (4 * max(n, 1)))
+    b = min(b, n)
+    # round up to a multiple that divides padded n nicely
+    return int(b)
+
+
+@lru_cache(maxsize=None)
+def _knn_fn():
+    jax, jnp = _jax()
+
+    @partial(jax.jit, static_argnames=("k", "metric", "block"))
+    def f(X, k, metric, block):
+        n, d = X.shape
+        nb = -(-n // block)
+        n_pad = nb * block
+        Xq = jnp.pad(X, ((0, n_pad - n), (0, 0)))
+
+        if metric in ("cosine", "correlation"):
+            Z = X - X.mean(axis=1, keepdims=True) if metric == "correlation" else X
+            norms = jnp.linalg.norm(Z, axis=1, keepdims=True)
+            Zn = Z / jnp.where(norms == 0, 1.0, norms)
+            Zq = jnp.pad(Zn, ((0, n_pad - n), (0, 0)))
+
+            def dist_block(i):
+                q = jax.lax.dynamic_slice(Zq, (i * block, 0), (block, d))
+                return 1.0 - q @ Zn.T
+        else:  # euclidean / sqeuclidean
+            sq = jnp.sum(X * X, axis=1)
+
+            def dist_block(i):
+                q = jax.lax.dynamic_slice(Xq, (i * block, 0), (block, d))
+                qsq = jnp.sum(q * q, axis=1)
+                d2 = qsq[:, None] + sq[None, :] - 2.0 * (q @ X.T)
+                return jnp.maximum(d2, 0.0)
+
+        row_ids = jnp.arange(n_pad).reshape(nb, block)
+
+        def body(carry, i):
+            d2 = dist_block(i)
+            # self-distance forced to -inf so self sorts first
+            self_mask = (
+                jnp.arange(n)[None, :] == row_ids[i][:, None]
+            )
+            d2 = jnp.where(self_mask, -jnp.inf, d2)
+            neg = -d2
+            vals, idx = jax.lax.top_k(neg, k + 1)
+            return carry, (-vals, idx)
+
+        _, (dists, idx) = jax.lax.scan(body, None, jnp.arange(nb))
+        dists = dists.reshape(n_pad, k + 1)[:n]
+        idx = idx.reshape(n_pad, k + 1)[:n]
+        dists = dists.at[:, 0].set(0.0)  # self
+        if metric == "euclidean":
+            dists = dists.at[:, 1:].set(jnp.sqrt(jnp.maximum(dists[:, 1:], 0.0)))
+        return idx, dists
+
+    return f
+
+
+def knn(X, k: int, metric: str = "euclidean", include_self: bool = True):
+    """Exact kNN. Returns (indices (n, k+1), dists (n, k+1)) with self in
+    column 0 (pynndescent convention the reference relies on,
+    muon/_core/preproc.py:531)."""
+    jax, jnp = _jax()
+    X = jnp.asarray(X, dtype=jnp.float32)
+    n, d = X.shape
+    k = min(k, n - 1)
+    if metric in ("sqeuclidean",):
+        m = "sqeuclidean"
+    elif metric in ("cosine", "correlation"):
+        m = metric
+    elif metric in ("euclidean", "l2"):
+        m = "euclidean"
+    else:
+        raise NotImplementedError(
+            f"metric {metric!r} not supported by the TPU kNN kernel "
+            "(euclidean/sqeuclidean/cosine/correlation available)"
+        )
+    block = _block_rows(n, d)
+    idx, dists = _knn_fn()(X, k, m, block)
+    if include_self:
+        return idx, dists
+    return idx[:, 1:], dists[:, 1:]
+
+
+def pairwise_sq_dists(Q, C):
+    """Blocked squared euclidean distances (Q rows × C rows)."""
+    jax, jnp = _jax()
+
+    @jax.jit
+    def f(Q, C):
+        qsq = jnp.sum(Q * Q, axis=1)
+        csq = jnp.sum(C * C, axis=1)
+        return jnp.maximum(qsq[:, None] + csq[None, :] - 2.0 * Q @ C.T, 0.0)
+
+    return f(jnp.asarray(Q), jnp.asarray(C))

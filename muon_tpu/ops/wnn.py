@@ -1,0 +1,576 @@
+"""Weighted-nearest-neighbors multimodal fusion + single-modality neighbors.
+
+TPU-native implementation of the reference's WNN
+(muon/_core/preproc.py:264-640, Hao et al. 2020 / Swanson et al. 2020):
+
+* per-modality kNN graphs: exact blocked kNN (ops.knn) instead of
+  pynndescent NN-descent;
+* kernel bandwidths: the reference's Jaccard×Euclidean tie-break search
+  (muon/_core/preproc.py:52-111) becomes an exact candidate-set scan over
+  neighbors-of-neighbors — a dense (block, C, k, k) equality reduction on
+  the VPU instead of a numba custom metric inside NN-descent;
+* affinity ratios θ, softmax modality weights, candidate-graph fusion and
+  the final top-k are jit-compiled kernels over fixed-width index mats.
+
+Host code only does index bookkeeping and CSR assembly.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+from scipy import sparse as sp
+
+from .fuzzy import compute_connectivities_umap
+from .knn import knn
+
+__all__ = ["single_neighbors", "wnn_neighbors", "choose_representation"]
+
+
+@lru_cache(maxsize=1)
+def _jax():
+    import jax
+    import jax.numpy as jnp
+
+    return jax, jnp
+
+
+# ---------------------------------------------------------------------------
+# representation choice (scanpy `_choose_representation` parity)
+# ---------------------------------------------------------------------------
+
+
+def choose_representation(adata, use_rep=None, n_pcs=None):
+    from scipy.sparse import issparse
+
+    if use_rep is None or use_rep == -1:
+        if "X_pca" in adata.obsm:
+            rep = np.asarray(adata.obsm["X_pca"])
+            if n_pcs is not None and n_pcs not in (-1, 0):
+                rep = rep[:, :n_pcs]
+            return np.asarray(rep, dtype=np.float32)
+        if adata.n_vars > 50:
+            from .linalg import pca as _pca
+
+            scores, *_ = _pca(
+                adata.X if issparse(adata.X) else np.asarray(adata.X),
+                n_comps=min(50, adata.n_vars - 1),
+            )
+            adata.obsm["X_pca"] = np.asarray(scores)
+            rep = adata.obsm["X_pca"]
+            if n_pcs is not None and n_pcs not in (-1, 0):
+                rep = rep[:, :n_pcs]
+            return np.asarray(rep, dtype=np.float32)
+        X = adata.X
+        if issparse(X):
+            X = np.asarray(X.todense())
+        return np.asarray(X, dtype=np.float32)
+    if use_rep == "X":
+        X = adata.X
+        if issparse(X):
+            X = np.asarray(X.todense())
+        return np.asarray(X, dtype=np.float32)
+    rep = np.asarray(adata.obsm[use_rep])
+    if n_pcs is not None and n_pcs not in (-1, 0) and "pca" in str(use_rep).lower():
+        rep = rep[:, :n_pcs]
+    return np.asarray(rep, dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# single-modality neighbors (scanpy sc.pp.neighbors parity surface)
+# ---------------------------------------------------------------------------
+
+
+def single_neighbors(
+    adata,
+    n_neighbors: int = 15,
+    use_rep=None,
+    n_pcs=None,
+    metric: str = "euclidean",
+    key_added=None,
+    random_state: int = 0,
+):
+    """Exact-kNN + UMAP connectivities for one modality. Writes
+    ``obsp["distances"]/["connectivities"]`` and ``uns["neighbors"]`` with
+    the params-in-uns convention WNN re-reads (SURVEY §5 observability)."""
+    rep = choose_representation(adata, use_rep=use_rep, n_pcs=n_pcs)
+    idx, dists = knn(rep, n_neighbors - 1, metric=metric)
+    idx = np.asarray(idx)
+    dists = np.asarray(dists, dtype=np.float64)
+
+    n = adata.n_obs
+    k = idx.shape[1]  # n_neighbors incl self
+    conn = compute_connectivities_umap(idx, dists, n, k)
+
+    rows = np.repeat(np.arange(n), k - 1)
+    cols = idx[:, 1:].reshape(-1)
+    vals = dists[:, 1:].reshape(-1)
+    dmat = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+
+    if key_added is None:
+        key_added, conns_key, dists_key = "neighbors", "connectivities", "distances"
+    else:
+        conns_key, dists_key = f"{key_added}_connectivities", f"{key_added}_distances"
+    adata.obsp[dists_key] = dmat
+    adata.obsp[conns_key] = conn
+    adata.uns[key_added] = {
+        "connectivities_key": conns_key,
+        "distances_key": dists_key,
+        "params": {
+            "n_neighbors": int(n_neighbors),
+            "method": "umap",
+            "random_state": random_state,
+            "metric": metric,
+            "use_rep": use_rep if use_rep is not None else -1,
+            "n_pcs": n_pcs if n_pcs is not None else -1,
+        },
+    }
+    return adata
+
+
+# ---------------------------------------------------------------------------
+# WNN kernels
+# ---------------------------------------------------------------------------
+
+
+def _neighbor_index_matrix(dmat: sp.csr_matrix):
+    """CSR kNN-graph rows → fixed-width (n, kk) index matrix (pad −1) and
+    per-row min distance."""
+    n = dmat.shape[0]
+    counts = np.diff(dmat.indptr)
+    if counts.min() == 0:
+        raise ValueError(
+            "A cell has no neighbors in a modality graph. Make sure to "
+            "subset before calculating nearest neighbors."
+        )
+    kk = int(counts.max())
+    NI = np.full((n, kk), -1, dtype=np.int32)
+    ND = np.full((n, kk), np.inf, dtype=np.float32)
+    for_r = np.repeat(np.arange(n), counts)
+    pos = np.arange(dmat.nnz) - np.repeat(dmat.indptr[:-1], counts)
+    NI[for_r, pos] = dmat.indices.astype(np.int32)
+    ND[for_r, pos] = dmat.data.astype(np.float32)
+    nnd = ND.min(axis=1)
+    return NI, nnd
+
+
+@lru_cache(maxsize=None)
+def _bandwidth_fn():
+    jax, jnp = _jax()
+
+    @partial(jax.jit, static_argnames=("n_bw", "block"))
+    def f(NI, rep, N_total, bbox_norm, n_bw, block):
+        """σ per cell: mean euclidean distance to the `n_bw` cells with the
+        largest Jaccard distance between neighbor sets (tie-break: largest
+        euclidean), among neighbors + neighbors-of-neighbors candidates."""
+        n, kk = NI.shape
+        d = rep.shape[1]
+        NI_safe = jnp.where(NI < 0, 0, NI)
+        valid_ni = NI >= 0
+
+        nb = -(-n // block)
+        n_pad = nb * block
+        NI_p = jnp.pad(NI, ((0, n_pad - n), (0, 0)), constant_values=-1)
+        rep_p = jnp.pad(rep, ((0, n_pad - n), (0, 0)))
+
+        set_sizes = valid_ni.sum(axis=1)  # (n,)
+
+        def body(carry, i):
+            sl = lambda A: jax.lax.dynamic_slice_in_dim(A, i * block, block, 0)  # noqa: E731
+            NI_b = sl(NI_p)                      # (b, kk)
+            rep_b = sl(rep_p)                    # (b, d)
+            row_b = jnp.arange(block) + i * block
+
+            NI_b_safe = jnp.where(NI_b < 0, 0, NI_b)
+            # candidates: own neighbors + neighbors-of-neighbors
+            cand_nn = NI_safe[NI_b_safe].reshape(block, kk * kk)
+            cand_nn = jnp.where(
+                (NI_b < 0).repeat(kk, axis=1), -1,
+                jnp.where(valid_ni[NI_b_safe].reshape(block, kk * kk), cand_nn, -1),
+            )
+            cand = jnp.concatenate([NI_b, cand_nn], axis=1)  # (b, C)
+            C = cand.shape[1]
+            cand_safe = jnp.where(cand < 0, 0, cand)
+
+            # jaccard between S_x (b, kk) and S_y (b, C, kk)
+            Sx = jnp.where(NI_b < 0, -2, NI_b)           # pad never matches
+            Sy = NI[cand_safe]                            # (b, C, kk)
+            Sy = jnp.where(valid_ni[cand_safe], Sy, -3)
+            inter = (Sx[:, None, :, None] == Sy[:, :, None, :]).sum((-1, -2))
+            sx_size = set_sizes[jnp.where(row_b < n, row_b, 0)][:, None]
+            sy_size = set_sizes[cand_safe]
+            union = sx_size + sy_size - inter
+            jac_dist = 1.0 - inter / jnp.maximum(union, 1)
+
+            # euclidean in rep space
+            diff = rep_b[:, None, :] - rep[cand_safe]
+            eucl = jnp.sqrt(jnp.maximum((diff * diff).sum(-1), 0.0))
+
+            score = (N_total - jac_dist * N_total) + (bbox_norm - eucl) / bbox_norm
+            bad = (
+                (cand < 0)
+                | (cand == row_b[:, None])
+                | (jac_dist >= 1.0)
+            )
+            score = jnp.where(bad, N_total + 1.0, score)
+            # prefer-unique: duplicate candidates must not be picked twice —
+            # penalize repeats (sorted position trick)
+            order = jnp.argsort(cand, axis=1)
+            cand_sorted = jnp.take_along_axis(cand, order, axis=1)
+            dup_sorted = jnp.concatenate(
+                [jnp.zeros((block, 1), bool),
+                 cand_sorted[:, 1:] == cand_sorted[:, :-1]], axis=1)
+            dup = jnp.zeros_like(dup_sorted).at[
+                jnp.arange(block)[:, None], order
+            ].set(dup_sorted)
+            score = jnp.where(dup, N_total + 1.0, score)
+
+            _, top_idx = jax.lax.top_k(-score, n_bw)
+            top_e = jnp.take_along_axis(eucl, top_idx, axis=1)
+            top_bad = jnp.take_along_axis(score, top_idx, axis=1) >= N_total + 1.0
+            # fall back to plain neighbor distances if no valid candidates
+            sig = jnp.where(
+                (~top_bad).sum(1) > 0,
+                jnp.where(top_bad, 0.0, top_e).sum(1) / jnp.maximum((~top_bad).sum(1), 1),
+                eucl[:, :kk].mean(1),
+            )
+            return carry, sig
+
+        _, sig = jax.lax.scan(body, None, jnp.arange(nb))
+        return sig.reshape(n_pad)[:n]
+
+    return f
+
+
+@lru_cache(maxsize=None)
+def _theta_fn():
+    jax, jnp = _jax()
+
+    @jax.jit
+    def f(rep1, NI2, nnd1, sigma1):
+        """θ affinity (reference muon/_core/preproc.py:480-503):
+        r = mean of rep1 over mod2-neighbors; θ = exp(−max(‖x−r‖−nnd,0)/(σ−nnd))."""
+        valid = NI2 >= 0
+        NI2s = jnp.where(valid, NI2, 0)
+        gathered = rep1[NI2s]  # (m, kk, d)
+        w = valid[..., None].astype(rep1.dtype)
+        r = (gathered * w).sum(1) / jnp.maximum(w.sum(1), 1.0)
+        dist = jnp.sqrt(jnp.maximum(((rep1 - r) ** 2).sum(-1), 0.0))
+        return jnp.exp(-jnp.maximum(dist - nnd1, 0.0) / (sigma1 - nnd1))
+
+    return f
+
+
+@lru_cache(maxsize=None)
+def _fusion_fn():
+    jax, jnp = _jax()
+
+    @partial(jax.jit, static_argnames=("block", "metric"))
+    def f(acc, cand_local, rep, local_rows, sigmas_local, w_col, block, metric):
+        """acc[cell, c] += w[cell] * exp(−dist(rep[cell], rep[cand])/σ[cell])
+        for candidates present in this modality (reference fusion loop,
+        muon/_core/preproc.py:571-601)."""
+        n, C = cand_local.shape
+        d = rep.shape[1]
+        nb = -(-n // block)
+        n_pad = nb * block
+        cl = jnp.pad(cand_local, ((0, n_pad - n), (0, 0)), constant_values=-1)
+        lr = jnp.pad(local_rows, (0, n_pad - n), constant_values=-1)
+        wc = jnp.pad(w_col, (0, n_pad - n))
+
+        if metric == "cosine":
+            norms = jnp.linalg.norm(rep, axis=1, keepdims=True)
+            repn = rep / jnp.where(norms == 0, 1.0, norms)
+
+        def body(carry, i):
+            acc = carry
+            cl_b = jax.lax.dynamic_slice_in_dim(cl, i * block, block, 0)
+            lr_b = jax.lax.dynamic_slice_in_dim(lr, i * block, block, 0)
+            w_b = jax.lax.dynamic_slice_in_dim(wc, i * block, block, 0)
+            ok_cell = lr_b >= 0
+            lr_s = jnp.where(ok_cell, lr_b, 0)
+            cl_s = jnp.where(cl_b < 0, 0, cl_b)
+            if metric == "cosine":
+                q = repn[lr_s]
+                c = repn[cl_s]
+                dist = 1.0 - (q[:, None, :] * c).sum(-1)
+            else:
+                q = rep[lr_s]
+                c = rep[cl_s]
+                diff = q[:, None, :] - c
+                dist = jnp.sqrt(jnp.maximum((diff * diff).sum(-1), 0.0))
+            sig = sigmas_local[lr_s][:, None]
+            contrib = jnp.exp(-dist / sig) * w_b[:, None]
+            contrib = jnp.where(
+                (cl_b >= 0) & ok_cell[:, None], contrib, 0.0
+            )
+            acc = jax.lax.dynamic_update_slice_in_dim(
+                acc,
+                jax.lax.dynamic_slice_in_dim(acc, i * block, block, 0) + contrib,
+                i * block,
+                0,
+            )
+            return acc, None
+
+        accp = jnp.pad(acc, ((0, n_pad - n), (0, 0)))
+        accp, _ = jax.lax.scan(body, accp, jnp.arange(nb))
+        return accp[:n]
+
+    return f
+
+
+@lru_cache(maxsize=None)
+def _final_topk_fn():
+    jax, jnp = _jax()
+
+    @partial(jax.jit, static_argnames=("k",))
+    def f(scores, cand, k):
+        dist = jnp.sqrt(0.5 * (1.0 - scores))
+        dist = jnp.where(cand >= 0, dist, jnp.inf)
+        neg = -dist
+        vals, pos = jax.lax.top_k(neg, k)
+        idx = jnp.take_along_axis(cand, pos, axis=1)
+        return idx, -vals
+
+    return f
+
+
+# ---------------------------------------------------------------------------
+# the WNN driver
+# ---------------------------------------------------------------------------
+
+
+def wnn_neighbors(
+    mdata,
+    n_neighbors=None,
+    n_bandwidth_neighbors: int = 20,
+    n_multineighbors: int = 200,
+    neighbor_keys=None,
+    metric: str = "euclidean",
+    low_memory=None,
+    key_added=None,
+    weight_key="mod_weight",
+    add_weights_to_modalities: bool = False,
+    eps: float = 1e-4,
+    copy: bool = False,
+    random_state=42,
+):
+    jax, jnp = _jax()
+    from .._core.anndata import AnnData
+
+    if isinstance(mdata, AnnData):
+        return single_neighbors(
+            mdata, n_neighbors=n_neighbors or 15, metric=metric,
+            key_added=key_added, random_state=random_state or 0,
+        )
+
+    mdata = mdata.copy() if copy else mdata
+    if neighbor_keys is None:
+        modalities = list(mdata.mod.keys())
+        neighbor_keys = {}
+    else:
+        modalities = list(neighbor_keys.keys())
+    n_mods = len(modalities)
+    n_global = mdata.n_obs
+
+    # -- collect per-modality state ------------------------------------------
+    neighbors_params, reps, mod_reps, mod_n_pcs = {}, {}, {}, {}
+    mod_neighbors = []
+    for mod in modalities:
+        nkey = neighbor_keys.get(mod, "neighbors")
+        if nkey not in mdata.mod[mod].uns:
+            raise ValueError(
+                f'Did not find .uns["{nkey}"] for modality "{mod}". '
+                f"Run neighbors on all modalities first."
+            )
+        nparams = mdata.mod[mod].uns[nkey]
+        use_rep = nparams["params"].get("use_rep", None)
+        n_pcs = nparams["params"].get("n_pcs", None)
+        if use_rep == -1:
+            use_rep = None
+        if n_pcs == -1:
+            n_pcs = None
+        mod_neighbors.append(nparams["params"].get("n_neighbors", 0))
+        neighbors_params[mod] = nparams
+        reps[mod] = choose_representation(mdata.mod[mod], use_rep, n_pcs)
+        mod_reps[mod] = use_rep if use_rep is not None else -1
+        mod_n_pcs[mod] = n_pcs if n_pcs is not None else -1
+
+    if n_neighbors is None:
+        valid = [k for k in mod_neighbors if k > 0]
+        n_neighbors = int(round(float(np.mean(valid)), 0))
+
+    # global ↔ local index maps
+    g2l, present, l2g = {}, {}, {}
+    for mod in modalities:
+        m = np.asarray(mdata.obsmap[mod], dtype=np.int64)
+        present[mod] = m > 0
+        g = np.full(n_global, -1, dtype=np.int32)
+        g[m > 0] = (m[m > 0] - 1).astype(np.int32)
+        g2l[mod] = g
+        loc2glob = np.full(mdata.mod[mod].n_obs, -1, dtype=np.int64)
+        loc2glob[m[m > 0] - 1] = np.flatnonzero(m > 0)
+        l2g[mod] = loc2glob
+
+    # -- bandwidths σ and affinity ratios θ -----------------------------------
+    NIs, nnds, sigmas = {}, {}, {}
+    ratios = np.full((n_global, n_mods), -np.inf, dtype=np.float64)
+    for i1, mod1 in enumerate(modalities):
+        dmat = mdata.mod[mod1].obsp[neighbors_params[mod1]["distances_key"]].tocsr()
+        NI, nnd = _neighbor_index_matrix(dmat)
+        NIs[mod1], nnds[mod1] = NI, nnd
+        rep = reps[mod1]
+        bbox = float(np.linalg.norm(np.ptp(rep, axis=0), ord=2))
+        n_loc = rep.shape[0]
+        block = max(32, min(1024, (1 << 26) // max(1, NI.shape[1] ** 2 * 4)))
+        block = min(block, n_loc)
+        sig = np.asarray(
+            _bandwidth_fn()(
+                jnp.asarray(NI), jnp.asarray(rep), float(n_loc), bbox,
+                min(n_bandwidth_neighbors, max(NI.shape[1], 1)), block,
+            )
+        )
+        sigmas[mod1] = sig
+
+        thetas = np.full((n_loc, max(n_mods - 1, 1)), -np.inf)
+        currtheta = None
+        lasti = 0
+        for i2, mod2 in enumerate(modalities):
+            # cells present in both modalities, in mod1-local order
+            both = present[mod1] & present[mod2]
+            rows1 = g2l[mod1][both]          # mod1-local indices
+            rows2 = g2l[mod2][both]          # mod2-local indices
+            NI2 = NIs.get(mod2)
+            if NI2 is None:
+                dm2 = mdata.mod[mod2].obsp[
+                    neighbors_params[mod2]["distances_key"]
+                ].tocsr()
+                NI2, nnd2 = _neighbor_index_matrix(dm2)
+                NIs[mod2], nnds[mod2] = NI2, nnd2
+            # mod2 neighbor indices (mod2-local) → mod1-local
+            NI2_sel = NI2[rows2]  # (m, kk2) mod2-local
+            conv = np.full(mdata.mod[mod2].n_obs, -1, dtype=np.int32)
+            m2_glob = l2g[mod2]
+            conv[:] = g2l[mod1][m2_glob]
+            NI2_m1 = np.where(NI2_sel >= 0, conv[np.where(NI2_sel >= 0, NI2_sel, 0)], -1)
+            th = np.asarray(
+                _theta_fn()(
+                    jnp.asarray(rep[rows1]),
+                    jnp.asarray(NI2_m1.astype(np.int32)),
+                    jnp.asarray(nnd[rows1]),
+                    jnp.asarray(sig[rows1]),
+                )
+            )
+            if i1 == i2:
+                currtheta = th
+            else:
+                thetas[: len(th), lasti] = th
+                lasti += 1
+        own_rows_global = np.flatnonzero(present[mod1])
+        if n_mods > 1:
+            ratios[own_rows_global, i1] = currtheta / (
+                np.max(thetas[: len(currtheta)], axis=1) + eps
+            )
+        else:
+            ratios[own_rows_global, i1] = 0.0
+
+    # softmax over modalities
+    r = ratios - ratios.max(axis=1, keepdims=True)
+    ew = np.exp(r)
+    ew[~np.isfinite(ratios)] = 0.0
+    weights = ew / np.maximum(ew.sum(axis=1, keepdims=True), 1e-30)
+
+    # -- candidate graph -------------------------------------------------------
+    m_per = n_multineighbors
+    cand_all = np.full((n_global, n_mods * m_per), -1, dtype=np.int64)
+    for i, mod in enumerate(modalities):
+        rep = reps[mod]
+        cmetric = neighbors_params[mod]["params"].get("metric", "euclidean")
+        k_cand = min(m_per, rep.shape[0] - 1)
+        idx, _ = knn(rep, k_cand, metric=cmetric)
+        idx = np.asarray(idx)[:, 1:]  # drop self
+        glob = l2g[mod][idx]  # → global ids
+        rows_glob = l2g[mod]
+        cand_all[rows_glob, i * m_per : i * m_per + glob.shape[1]] = glob
+
+    # dedup per row (sorted; repeats → -1)
+    cand_sorted = np.sort(cand_all, axis=1)
+    dup = np.zeros_like(cand_sorted, dtype=bool)
+    dup[:, 1:] = (cand_sorted[:, 1:] == cand_sorted[:, :-1]) & (cand_sorted[:, 1:] >= 0)
+    cand_sorted[dup] = -1
+    # compact: push valid to the front
+    order = np.argsort(cand_sorted < 0, axis=1, kind="stable")
+    cand = np.take_along_axis(cand_sorted, order, axis=1)
+    maxc = max(int((cand >= 0).sum(axis=1).max()), n_neighbors + 1)
+    cand = cand[:, :maxc]
+
+    # -- fusion -----------------------------------------------------------------
+    scores = np.zeros((n_global, cand.shape[1]), dtype=np.float32)
+    scores_j = jnp.asarray(scores)
+    cand_j = jnp.asarray(cand.astype(np.int32))
+    for i, mod in enumerate(modalities):
+        rep = reps[mod]
+        cand_local = g2l[mod][np.where(cand >= 0, cand, 0)]
+        cand_local = np.where(cand >= 0, cand_local, -1).astype(np.int32)
+        block = max(64, min(2048, (1 << 27) // max(1, cand.shape[1] * rep.shape[1] * 4)))
+        block = min(block, n_global)
+        scores_j = _fusion_fn()(
+            scores_j,
+            jnp.asarray(cand_local),
+            jnp.asarray(rep),
+            jnp.asarray(g2l[mod]),
+            jnp.asarray(sigmas[mod]),
+            jnp.asarray(weights[:, i].astype(np.float32)),
+            block,
+            metric if metric in ("euclidean", "cosine") else "euclidean",
+        )
+
+    # -- final kNN + connectivities ----------------------------------------------
+    kfin = min(n_neighbors + 1, cand.shape[1])
+    idx_f, dist_f = _final_topk_fn()(scores_j, cand_j, kfin)
+    idx_f = np.asarray(idx_f)
+    dist_f = np.asarray(dist_f, dtype=np.float64)
+
+    conn = compute_connectivities_umap(idx_f, dist_f, n_global, kfin)
+    rows = np.repeat(np.arange(n_global), kfin)
+    cols = idx_f.reshape(-1)
+    vals = dist_f.reshape(-1)
+    keep = np.isfinite(vals) & (cols >= 0)
+    dmat = sp.csr_matrix(
+        (vals[keep], (rows[keep], cols[keep])), shape=(n_global, n_global)
+    )
+
+    # -- write back ---------------------------------------------------------------
+    for i, mod in enumerate(modalities):
+        if weight_key:
+            w = weights[present[mod], i]
+            if add_weights_to_modalities:
+                mdata.mod[mod].obs[weight_key] = w
+            else:
+                mdata.obs[f"{mod}:{weight_key}"] = np.where(
+                    present[mod], weights[:, i], np.nan
+                )
+
+    if key_added is None:
+        key_added, conns_key, dists_key = "neighbors", "connectivities", "distances"
+    else:
+        conns_key, dists_key = f"{key_added}_connectivities", f"{key_added}_distances"
+    mdata.obsp[dists_key] = dmat
+    mdata.obsp[conns_key] = conn
+    mdata.uns[key_added] = {
+        "connectivities_key": conns_key,
+        "distances_key": dists_key,
+        "params": {
+            "n_neighbors": int(n_neighbors),
+            "n_multineighbors": int(n_multineighbors),
+            "metric": metric,
+            "eps": eps,
+            "random_state": random_state,
+            "use_rep": mod_reps,
+            "n_pcs": mod_n_pcs,
+            "method": "umap",
+        },
+    }
+    mdata.update_obs()
+    return mdata if copy else None

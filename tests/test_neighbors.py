@@ -1,0 +1,156 @@
+"""Single-modality neighbors + WNN fusion tests
+(quality-level parity per SURVEY §7 hard-part 3: assert graph quality,
+not edge identity, since the reference itself is approximate)."""
+
+import numpy as np
+import pytest
+from scipy import sparse as sp
+
+import muon_tpu as mu
+
+
+def clustered_data(n_per=40, n_clusters=3, d=12, seed=0, noise=0.3):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, d)) * 4
+    X = np.concatenate(
+        [centers[i] + noise * rng.normal(size=(n_per, d)) for i in range(n_clusters)]
+    ).astype(np.float32)
+    labels = np.repeat(np.arange(n_clusters), n_per)
+    return X, labels
+
+
+class TestSingleNeighbors:
+    def test_outputs(self):
+        X, labels = clustered_data()
+        ad = mu.AnnData(X)
+        mu.pp.neighbors(ad, n_neighbors=10)
+        assert "distances" in ad.obsp and "connectivities" in ad.obsp
+        assert ad.uns["neighbors"]["params"]["n_neighbors"] == 10
+        dmat = ad.obsp["distances"]
+        assert dmat.shape == (120, 120)
+        assert (np.diff(dmat.indptr) == 9).all()  # k-1 neighbors per row
+
+    def test_knn_correctness(self):
+        X, labels = clustered_data()
+        ad = mu.AnnData(X)
+        mu.pp.neighbors(ad, n_neighbors=10)
+        dmat = ad.obsp["distances"].toarray()
+        # neighbors should overwhelmingly be same-cluster
+        same = 0
+        total = 0
+        for i in range(120):
+            nbrs = np.flatnonzero(dmat[i])
+            same += (labels[nbrs] == labels[i]).sum()
+            total += len(nbrs)
+        assert same / total > 0.95
+
+    def test_knn_exactness_vs_scipy(self):
+        from muon_tpu.ops.knn import knn
+        from scipy.spatial.distance import cdist
+
+        rng = np.random.default_rng(3)
+        X = rng.normal(size=(50, 7)).astype(np.float32)
+        idx, dists = knn(X, 5)
+        D = cdist(X, X)
+        for i in range(50):
+            ref = np.argsort(D[i])[:6]
+            assert set(np.asarray(idx)[i]) == set(ref), i
+            assert np.allclose(np.sort(np.asarray(dists)[i]), np.sort(D[i][ref]), atol=1e-3)
+
+    def test_connectivities_symmetric(self):
+        X, _ = clustered_data()
+        ad = mu.AnnData(X)
+        mu.pp.neighbors(ad, n_neighbors=8)
+        C = ad.obsp["connectivities"]
+        assert abs(C - C.T).max() < 1e-6
+        assert C.max() <= 1.0 + 1e-6
+
+
+class TestWNN:
+    def _make_mdata(self, informative=(True, True), seed=0, n_per=40):
+        X1, labels = clustered_data(n_per=n_per, seed=seed)
+        if informative[1]:
+            X2, _ = clustered_data(n_per=n_per, d=9, seed=seed + 1)
+        else:
+            rng = np.random.default_rng(seed + 2)
+            X2 = rng.normal(size=(X1.shape[0], 9)).astype(np.float32)
+        m1, m2 = mu.AnnData(X1), mu.AnnData(X2)
+        md = mu.MuData({"m1": m1, "m2": m2})
+        mu.pp.neighbors(m1, n_neighbors=10)
+        mu.pp.neighbors(m2, n_neighbors=10)
+        return md, labels
+
+    def test_wnn_outputs(self):
+        md, labels = self._make_mdata()
+        mu.pp.neighbors(md)
+        assert "distances" in md.obsp and "connectivities" in md.obsp
+        assert "neighbors" in md.uns
+        assert md.uns["neighbors"]["params"]["n_neighbors"] == 10
+        assert "m1:mod_weight" in md.obs.columns
+        assert "m2:mod_weight" in md.obs.columns
+        w1 = md.obs["m1:mod_weight"].to_numpy()
+        w2 = md.obs["m2:mod_weight"].to_numpy()
+        assert np.allclose(w1 + w2, 1.0, atol=1e-5)
+        # 11 neighbors per row (n_neighbors + 1)
+        assert (np.diff(md.obsp["distances"].indptr) == 11).all()
+
+    def test_wnn_graph_quality(self):
+        md, labels = self._make_mdata()
+        mu.pp.neighbors(md)
+        dmat = md.obsp["distances"].tocsr()
+        same = total = 0
+        for i in range(md.n_obs):
+            nbrs = dmat.indices[dmat.indptr[i]:dmat.indptr[i + 1]]
+            same += (labels[nbrs] == labels[i]).sum()
+            total += len(nbrs)
+        assert same / total > 0.95
+
+    def test_wnn_weights_favor_informative(self):
+        md, labels = self._make_mdata(informative=(True, False))
+        mu.pp.neighbors(md)
+        w1 = md.obs["m1:mod_weight"].to_numpy()
+        # the informative modality should get clearly higher weight on average
+        assert np.nanmean(w1) > 0.6
+
+    def test_wnn_requires_per_mod_neighbors(self):
+        X1, _ = clustered_data()
+        md = mu.MuData({"m1": mu.AnnData(X1)})
+        with pytest.raises(ValueError, match="neighbors"):
+            mu.pp.neighbors(md)
+
+    def test_wnn_key_added(self):
+        md, _ = self._make_mdata()
+        mu.pp.neighbors(md, key_added="wnn")
+        assert "wnn" in md.uns
+        assert "wnn_distances" in md.obsp
+        assert "wnn_connectivities" in md.obsp
+
+    def test_wnn_copy(self):
+        md, _ = self._make_mdata()
+        out = mu.pp.neighbors(md, copy=True)
+        assert out is not md
+        assert "distances" in out.obsp
+        assert "distances" not in md.obsp
+
+    def test_wnn_ragged(self):
+        md, labels = self._make_mdata()
+        # make m2 ragged: drop last 20 obs
+        m2 = md.mod["m2"][: md.n_obs - 20].copy()
+        md = mu.MuData({"m1": md.mod["m1"], "m2": m2})
+        mu.pp.neighbors(md.mod["m1"], n_neighbors=10)
+        mu.pp.neighbors(md.mod["m2"], n_neighbors=10)
+        mu.pp.neighbors(md)
+        assert md.obsp["distances"].shape == (md.n_obs, md.n_obs)
+        # graph quality still good on the shared cells
+        dmat = md.obsp["distances"].tocsr()
+        same = total = 0
+        for i in range(md.n_obs):
+            nbrs = dmat.indices[dmat.indptr[i]:dmat.indptr[i + 1]]
+            same += (labels[nbrs] == labels[i]).sum()
+            total += len(nbrs)
+        assert same / total > 0.9
+
+    def test_wnn_add_weights_to_modalities(self):
+        md, _ = self._make_mdata()
+        mu.pp.neighbors(md, add_weights_to_modalities=True)
+        assert "mod_weight" in md.mod["m1"].obs.columns
