@@ -1,0 +1,177 @@
+"""Multiplex Leiden/Louvain community detection (host, numpy CSR).
+
+Replaces leidenalg/louvain-igraph C++ (reference muon/_core/tools.py:28-44,
+1034-1038): optimizes the RB-configuration quality summed over layers with
+per-layer resolutions and weights, sharing one partition across layers —
+the same objective as leidenalg's ``optimise_partition_multiplex``.
+
+Algorithm: Louvain-style local moving + graph aggregation; ``refine=True``
+adds a Leiden-style refinement phase (communities are split into
+well-connected subcommunities before aggregation, Traag et al. 2019).
+The graphs here are kNN graphs (20–30 edges/row), so the host pass is
+O(nnz) per sweep; the TPU owns the heavy upstream work (kNN, fusion).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy import sparse as sp
+
+__all__ = ["multiplex_leiden", "leiden_labels"]
+
+
+class _Layer:
+    def __init__(self, A: sp.csr_matrix, resolution: float, weight: float):
+        A = A.tocsr().astype(np.float64)
+        A = (A + A.T) / 2.0  # symmetrize
+        A.setdiag(0.0)
+        A.eliminate_zeros()
+        self.indptr = A.indptr
+        self.indices = A.indices
+        self.data = A.data
+        self.deg = np.asarray(A.sum(axis=1)).ravel()
+        self.two_m = max(self.deg.sum(), 1e-12)
+        self.gamma = resolution
+        self.w = weight
+        self.A = A
+
+
+def _local_move(layers, labels, rng, max_passes=20, restrict=None):
+    """Sequential local moving. If `restrict` is given (array of labels),
+    nodes may only join communities within the same restricted group
+    (used for Leiden refinement)."""
+    n = len(labels)
+    # community totals per layer
+    tots = [np.zeros(labels.max() + 2) for _ in layers]
+    for li, L in enumerate(layers):
+        np.add.at(tots[li], labels, L.deg)
+
+    improved_any = False
+    for _ in range(max_passes):
+        moved = 0
+        order = rng.permutation(n)
+        for i in order:
+            ci = labels[i]
+            # gather neighbor communities and per-layer edge weights
+            best_comm = ci
+            best_gain = 0.0
+            # accumulate k_{i→comm} for each layer
+            comm_w = {}
+            for li, L in enumerate(layers):
+                sl = slice(L.indptr[i], L.indptr[i + 1])
+                for j, w_ in zip(L.indices[sl], L.data[sl]):
+                    if restrict is not None and restrict[j] != restrict[i]:
+                        continue
+                    key = labels[j]
+                    if key not in comm_w:
+                        comm_w[key] = np.zeros(len(layers))
+                    comm_w[key][li] += w_
+            base = comm_w.get(ci, np.zeros(len(layers)))
+            # gain of leaving ci then joining d
+            for d, kw in comm_w.items():
+                if d == ci:
+                    continue
+                gain = 0.0
+                for li, L in enumerate(layers):
+                    ki = L.deg[i]
+                    tot_d = tots[li][d]
+                    tot_c = tots[li][ci] - ki
+                    gain += L.w * (
+                        (kw[li] - base[li])
+                        - L.gamma * ki * (tot_d - tot_c) / L.two_m
+                    )
+                if gain > best_gain + 1e-12:
+                    best_gain = gain
+                    best_comm = d
+            if best_comm != ci:
+                for li, L in enumerate(layers):
+                    tots[li][ci] -= L.deg[i]
+                    tots[li][best_comm] += L.deg[i]
+                labels[i] = best_comm
+                moved += 1
+                improved_any = True
+        if moved == 0:
+            break
+    return improved_any
+
+
+def _refine(layers, labels, rng):
+    """Leiden refinement: within each community, rebuild from singletons by
+    local moving restricted to the community."""
+    refined = np.arange(len(labels))
+    _local_move(layers, refined, rng, max_passes=3, restrict=labels)
+    # relabel contiguous
+    _, refined = np.unique(refined, return_inverse=True)
+    return refined
+
+
+def _aggregate(layers, labels):
+    n_comm = labels.max() + 1
+    P = sp.csr_matrix(
+        (np.ones(len(labels)), (np.arange(len(labels)), labels)),
+        shape=(len(labels), n_comm),
+    )
+    new_layers = []
+    for L in layers:
+        A2 = (P.T @ L.A @ P).tocsr()
+        new_layers.append(_Layer(A2, L.gamma, L.w))
+    return new_layers
+
+
+def multiplex_leiden(
+    adjacencies,
+    resolutions=None,
+    layer_weights=None,
+    seed: int = 0,
+    refine: bool = True,
+    max_levels: int = 10,
+):
+    """Cluster one shared partition over multiple graph layers.
+
+    Returns integer labels (n,) relabeled by decreasing community size
+    (matching the common leidenalg output convention)."""
+    L = len(adjacencies)
+    n = adjacencies[0].shape[0]
+    if resolutions is None:
+        resolutions = [1.0] * L
+    if layer_weights is None:
+        layer_weights = [1.0] * L
+    rng = np.random.default_rng(seed)
+    layers = [
+        _Layer(adjacencies[i], float(resolutions[i]), float(layer_weights[i]))
+        for i in range(L)
+    ]
+    labels = np.arange(n)
+    mapping = np.arange(n)  # original node -> current supernode
+
+    for _level in range(max_levels):
+        improved = _local_move(layers, labels, rng)
+        # compact labels
+        _, labels = np.unique(labels, return_inverse=True)
+        if refine:
+            refined = _refine(layers, labels, rng)
+            # aggregate on the refined partition; communities of `labels`
+            # become groups of refined supernodes
+            coarse_of_refined = np.zeros(refined.max() + 1, dtype=np.int64)
+            coarse_of_refined[refined] = labels
+            layers = _aggregate(layers, refined)
+            mapping = refined[mapping]
+            labels = coarse_of_refined
+        else:
+            layers = _aggregate(layers, labels)
+            mapping = labels[mapping]
+            labels = np.arange(labels.max() + 1)
+        if not improved:
+            break
+
+    final = labels[mapping]
+    # order communities by size, descending
+    vals, counts = np.unique(final, return_counts=True)
+    order = vals[np.argsort(-counts)]
+    remap = {v: i for i, v in enumerate(order)}
+    return np.asarray([remap[v] for v in final], dtype=np.int64)
+
+
+def leiden_labels(adjacency, resolution=1.0, seed=0, refine=True):
+    return multiplex_leiden([adjacency], [resolution], [1.0], seed=seed,
+                            refine=refine)
