@@ -1,0 +1,133 @@
+"""Headline benchmark: TF-IDF + LSI seconds per 100k cells (BASELINE.json).
+
+Pipeline benchmarked: ``ac.pp.tfidf`` (fused sparse device kernel) →
+``ac.tl.lsi`` (randomized truncated SVD, k=50) on a synthetic ATAC count
+matrix of 100k cells × 25k peaks (~2.5e7 nnz) — the reference code path is
+muon/_atac/preproc.py:16 + muon/_atac/tools.py:29 (scipy diagonal matmuls +
+ARPACK svds on CPU).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
+vs_baseline = reference_cpu_seconds / our_seconds (speedup; >1 is faster).
+
+The CPU reference number is measured once with the same matrix via the
+scipy/ARPACK algorithm (see _measure_baseline) and cached in
+BASELINE_MEASURED.json so TPU bench runs don't repeat the slow CPU pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+from scipy import sparse as sp
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+# scale divisor for smoke-testing (MUON_TPU_BENCH_SCALE=10 → 10k cells)
+_SCALE = max(1, int(os.environ.get("MUON_TPU_BENCH_SCALE", "1")))
+N_CELLS = 100_000 // _SCALE
+N_PEAKS = 25_000
+NNZ_PER_CELL = 250
+K = 50
+CACHE = os.path.join(HERE, "BASELINE_MEASURED.json")
+CONFIG_KEY = f"tfidf_lsi_{N_CELLS}x{N_PEAKS}_nnz{NNZ_PER_CELL}_k{K}"
+
+
+def make_counts(seed: int = 0) -> sp.csr_matrix:
+    """Synthetic ATAC-like counts: ~NNZ_PER_CELL open peaks per cell with a
+    power-law peak popularity profile (realistic column skew for SpMM
+    load-balancing)."""
+    rng = np.random.default_rng(seed)
+    nnz = N_CELLS * NNZ_PER_CELL
+    # popularity-skewed peak choice
+    pop = rng.pareto(1.2, N_PEAKS) + 1.0
+    pop /= pop.sum()
+    cols = rng.choice(N_PEAKS, size=nnz, p=pop).astype(np.int32)
+    rows = np.repeat(np.arange(N_CELLS, dtype=np.int32), NNZ_PER_CELL)
+    data = rng.integers(1, 5, size=nnz).astype(np.float32)
+    X = sp.coo_matrix((data, (rows, cols)), shape=(N_CELLS, N_PEAKS))
+    X.sum_duplicates()
+    return X.tocsr()
+
+
+def _reference_tfidf_lsi_cpu(X: sp.csr_matrix) -> float:
+    """The reference's algorithm (scipy dia matmuls + ARPACK svds), timed.
+
+    Mirrors muon/_atac/preproc.py:92-114 and muon/_atac/tools.py:53-63
+    behaviorally (not copied): TF row scaling ×1e4 log1p, IDF log1p column
+    scaling, svds(k=50), z-scored embeddings."""
+    from scipy.sparse.linalg import svds
+
+    t0 = time.perf_counter()
+    n = X.shape[0]
+    rs = np.asarray(X.sum(axis=1)).ravel()
+    tf = sp.dia_matrix((1.0 / rs, 0), shape=(n, n)) @ X
+    tf = tf.multiply(1e4)
+    tf.data = np.log1p(tf.data)
+    cs = np.asarray(X.sum(axis=0)).ravel()
+    idf = np.log1p(n / cs)
+    res = (tf @ sp.dia_matrix((idf, 0), shape=(len(idf), len(idf)))).tocsr()
+    res.data = np.nan_to_num(res.data)
+    U, s, Vt = svds(res.astype(np.float64), k=K)
+    order = np.argsort(-s)
+    U = U[:, order]
+    emb = (U - U.mean(axis=0)) / U.std(axis=0)
+    emb.sum()  # force materialization
+    return time.perf_counter() - t0
+
+
+def _our_tfidf_lsi(X: sp.csr_matrix) -> float:
+    import muon_tpu as mu
+    from muon_tpu import atac as ac
+
+    adata = mu.AnnData(X=X.copy())
+    t0 = time.perf_counter()
+    ac.pp.tfidf(adata)
+    ac.tl.lsi(adata, n_comps=K)
+    np.asarray(adata.obsm["X_lsi"]).sum()  # block on host materialization
+    return time.perf_counter() - t0
+
+
+def main():
+    X = make_counts()
+
+    # cached CPU reference measurement
+    baseline = None
+    if os.path.exists(CACHE):
+        try:
+            baseline = json.load(open(CACHE)).get(CONFIG_KEY)
+        except Exception:
+            baseline = None
+    if baseline is None:
+        baseline = _reference_tfidf_lsi_cpu(X)
+        try:
+            cache = json.load(open(CACHE)) if os.path.exists(CACHE) else {}
+        except Exception:
+            cache = {}
+        cache[CONFIG_KEY] = baseline
+        json.dump(cache, open(CACHE, "w"), indent=1)
+
+    # warm-up run compiles every kernel (XLA first compile is slow and not
+    # the steady-state number a production pipeline sees)
+    _our_tfidf_lsi(X)
+    ours = _our_tfidf_lsi(X)
+
+    print(
+        json.dumps(
+            {
+                "metric": "tfidf_lsi_sec_per_100k_cells",
+                "value": round(ours, 4),
+                "unit": "s",
+                "vs_baseline": round(baseline / ours, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

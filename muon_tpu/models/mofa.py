@@ -229,25 +229,31 @@ def _make_step(config: MOFAConfig, Ds: Sequence[int], N: int, masked: Sequence[b
         z2 = Zv + Zm * Zm
 
         # ---------------- τ update ----------------
-        new_tau, new_ln_tau = [], []
+        # per-view residual sum of squares E[(y − z·sw)²] column sums; the
+        # masked case is ((z2 @ SWWᵀ − Zm² @ (SW²)ᵀ) · B) column-summed — a
+        # plain (N,K)@(K,D) matmul + elementwise mask, which compiles to a
+        # single MXU op (a 3-operand einsum here bloated the HLO and the
+        # compile time badly)
+        ss_views = []
+        n_d_views = []
         for m in range(M):
             B = state["mask"][m] if masked[m] else None
             E = Es[m]
+            ss = (E * E).sum(axis=0)
             if B is None:
-                ss = (E * E).sum(axis=0)
                 ss = ss + z2.sum(0) @ SWW[m].T - (Zm * Zm).sum(0) @ (SWs[m] * SWs[m]).T
                 n_d = float(N)
             else:
-                ss = (E * E).sum(axis=0)
-                ss = (
-                    ss
-                    + jnp.einsum("nk,dk,nd->d", z2, SWW[m], B, optimize=True)
-                    - jnp.einsum("nk,dk,nd->d", Zm * Zm, SWs[m] * SWs[m], B,
-                                 optimize=True)
-                )
+                corr = z2 @ SWW[m].T - (Zm * Zm) @ (SWs[m] * SWs[m]).T  # (N, D)
+                ss = ss + (corr * B).sum(axis=0)
                 n_d = B.sum(axis=0)
-            a = A0 + 0.5 * n_d
-            b = B0 + 0.5 * ss
+            ss_views.append(ss)
+            n_d_views.append(n_d)
+
+        new_tau, new_ln_tau = [], []
+        for m in range(M):
+            a = A0 + 0.5 * n_d_views[m]
+            b = B0 + 0.5 * ss_views[m]
             new_tau.append(a / b)
             new_ln_tau.append(_digamma(a) - jnp.log(b))
 
@@ -289,27 +295,14 @@ def _make_step(config: MOFAConfig, Ds: Sequence[int], N: int, masked: Sequence[b
             theta_mean = state["theta_mean"]
 
         # ---------------- ELBO (up to constants) ----------------
+        # reuses the per-view ss from the τ update (identical expression)
         elbo = 0.0
         for m in range(M):
-            B = state["mask"][m] if masked[m] else None
-            E = Es[m]
             tau = new_tau[m]
             ln_tau = new_ln_tau[m]
-            if B is None:
-                n_d = float(N)
-                ss = (E * E).sum(axis=0) + z2.sum(0) @ SWW[m].T - (
-                    (Zm * Zm).sum(0) @ (SWs[m] * SWs[m]).T
-                )
-            else:
-                n_d = B.sum(axis=0)
-                ss = (
-                    (E * E).sum(axis=0)
-                    + jnp.einsum("nk,dk,nd->d", z2, SWW[m], B, optimize=True)
-                    - jnp.einsum("nk,dk,nd->d", Zm * Zm, SWs[m] * SWs[m], B,
-                                 optimize=True)
-                )
             elbo = elbo + jnp.sum(
-                0.5 * n_d * (ln_tau - jnp.log(2 * jnp.pi)) - 0.5 * tau * ss
+                0.5 * n_d_views[m] * (ln_tau - jnp.log(2 * jnp.pi))
+                - 0.5 * tau * ss_views[m]
             )
         # KL(Z) with prior precision
         elbo = elbo - 0.5 * jnp.sum(
@@ -417,6 +410,7 @@ def fit_mofa(
     elbo_every: int = 5,
     min_iterations: int = 10,
     verbose: bool = False,
+    mesh=None,
 ) -> MOFAResult:
     """Train MOFA+ by VB coordinate ascent.
 
@@ -456,6 +450,12 @@ def fit_mofa(
     step_jit = jax.jit(step)
 
     state = _init_state(Ys, masks, onehot, config)
+    if mesh is not None:
+        # multi-chip: shard the state over the ("cells","feat") mesh; the
+        # jitted sweep then runs SPMD with XLA-inserted collectives
+        from ..parallel import shard_mofa_state
+
+        state = shard_mofa_state(state, mesh)
 
     threshold = CONVERGENCE_THRESHOLDS.get(convergence_mode, 5e-4)
     elbos = []
