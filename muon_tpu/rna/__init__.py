@@ -1,1 +1,6 @@
-"""RNA modality helpers — reference muon/_rna."""
+"""RNA modality module (``import muon_tpu.rna``) — reference
+muon/_rna/__init__.py."""
+
+from . import utils
+
+__all__ = ["utils"]
