@@ -1,19 +1,25 @@
-"""ATAC tools (``ac.tl``): LSI, peak annotation, motifs, fragments, QC.
+"""ATAC tools (``ac.tl``): LSI, peak annotation, fragments, QC, motifs.
 
 TPU-native reimplementation of reference muon/_atac/tools.py. LSI runs as
 a randomized truncated SVD on device (replacing ARPACK svds at
 muon/_atac/tools.py:53); fragment-level tools stream through the
-pure-native tabix reader in muon_tpu.atac.fragments.
+pure-native bgzf/tabix engine (muon_tpu/native/fragments.cpp, replacing
+pysam) into device aggregation kernels (muon_tpu.ops.pileup).
 """
 
 from __future__ import annotations
 
+import os
+from contextlib import suppress
 from typing import Optional, Union
+from warnings import warn
 
 import numpy as np
+import pandas as pd
 
 from .._core.anndata import AnnData
 from .._core.mudata import MuData
+from . import utils
 
 __all__ = [
     "lsi",
@@ -82,90 +88,664 @@ def lsi(
 
 
 # ---------------------------------------------------------------------------
-# The components below land with their respective milestones; importing this
-# module must stay cheap, so heavy deps are imported inside functions.
+# Peak annotation (host-side pandas bookkeeping; reference
+# muon/_atac/tools.py:83-373)
 # ---------------------------------------------------------------------------
 
 
-def add_peak_annotation(*args, **kwargs):
-    from .annotation import add_peak_annotation as impl
+def add_peak_annotation(
+    data: Union[AnnData, MuData],
+    annotation,
+    sep: str = "\t",
+    return_annotation: bool = False,
+):
+    """Parse a CellRanger peak annotation table into
+    ``uns["atac"]["peak_annotation"]`` (reference muon/_atac/tools.py:83-165):
+    explodes ``;``-separated gene/distance/peak_type records, reconstructs
+    ``chrom:start-end`` peak ids, keeps missing distances as nullable Int64.
+    """
+    adata = _get_atac(data)
 
-    return impl(*args, **kwargs)
+    if isinstance(annotation, pd.DataFrame):
+        pa = annotation.copy()
+    else:
+        pa = pd.read_csv(annotation, sep=sep)
+
+    pa = pa.convert_dtypes()
+
+    if "peak" not in pa.columns:
+        if "chrom" in pa.columns and "start" in pa.columns and "end" in pa.columns:
+            pa["peak"] = (
+                pa["chrom"].astype(str)
+                + ":"
+                + pa["start"].astype(str)
+                + "-"
+                + pa["end"].astype(str)
+            )
+        else:
+            raise AttributeError(
+                "Peak annotation does not contain neither peak column nor "
+                "chrom, start, and end columns."
+            )
+    else:
+        # chrX_NNNNN_NNNNN -> chrX:NNNNN-NNNNN
+        pa["peak"] = (
+            pa["peak"].str.replace("_", ":", n=1).str.replace("_", "-", n=1)
+        )
+
+    # split multi-entry records into individual rows
+    if pd.api.types.is_string_dtype(pa["distance"]):
+        pa = pa.set_index("peak")
+        pa_g = pa["gene"].str.split(";").explode()
+        pa_d = pa["distance"].str.split(";").explode().astype("Int64")
+        pa_p = pa["peak_type"].str.split(";").explode()
+        pa = pd.concat((pa_g, pa_d, pa_p), axis=1).reset_index()
+    else:
+        pa = pa[["peak", "gene", "distance", "peak_type"]]
+
+    with suppress(ValueError, TypeError):
+        pa["distance"] = pa["distance"].astype("Int64")
+
+    for col in ("peak", "gene", "peak_type"):
+        pa[col] = pa[col].fillna("").astype(object)
+
+    pa = pa.set_index("gene")
+
+    if "atac" not in adata.uns:
+        adata.uns["atac"] = dict()
+    adata.uns["atac"]["peak_annotation"] = pa
+
+    if return_annotation:
+        return pa
 
 
-def add_peak_annotation_gene_names(*args, **kwargs):
-    from .annotation import add_peak_annotation_gene_names as impl
+def add_peak_annotation_gene_names(
+    data: Union[AnnData, MuData],
+    gene_names: Optional[pd.DataFrame] = None,
+    join_on: Optional[str] = None,
+    return_annotation: bool = False,
+):
+    """Join gene names from the rna modality's var into the peak annotation
+    (reference muon/_atac/tools.py:168-247)."""
+    if isinstance(data, AnnData):
+        adata = data
+    elif isinstance(data, MuData) and "atac" in data.mod:
+        adata = data.mod["atac"]
+        if gene_names is None:
+            if "rna" in data.mod:
+                gene_names = data.mod["rna"].var
+            else:
+                raise ValueError(
+                    "There is no .mod['rna'] modality. Provide `gene_names` "
+                    "as a pd.DataFrame."
+                )
+    else:
+        raise TypeError("Expected AnnData or MuData object with 'atac' modality")
 
-    return impl(*args, **kwargs)
+    if "atac" not in adata.uns or "peak_annotation" not in adata.uns["atac"]:
+        raise KeyError(
+            "There is no peak annotation yet. Run "
+            "muon_tpu.atac.tl.add_peak_annotation first."
+        )
+
+    ann = adata.uns["atac"]["peak_annotation"]
+
+    if join_on is None:
+        join_on = "gene_ids"
+
+    gene_id_name = (
+        gene_names.loc[:, [join_on]]
+        .rename_axis("gene_name")
+        .reset_index(drop=False)
+        .set_index(join_on)
+    )
+
+    # annotation indexed by gene ids? if not, maybe it's gene names already
+    if len(np.intersect1d(ann.index.values, gene_id_name.index.values)) == 0:
+        if len(np.intersect1d(ann.index.values, gene_names.index.values)) != 0:
+            ann.index.names = ["gene_name"]
+            adata.uns["atac"]["peak_annotation"] = ann
+        if return_annotation:
+            return ann
+        return None
+
+    ann = ann.join(gene_id_name).rename_axis(join_on).reset_index(drop=False)
+    ann.loc[ann["gene_name"].isnull(), "gene_name"] = ""
+    ann = ann.set_index("gene_name")
+    adata.uns["atac"]["peak_annotation"] = ann
+
+    if return_annotation:
+        return ann
 
 
-def add_genes_peaks_groups(*args, **kwargs):
-    from .annotation import add_genes_peaks_groups as impl
+def add_genes_peaks_groups(
+    data: Union[AnnData, MuData],
+    add_peak_type: bool = False,
+    add_distance: bool = False,
+):
+    """Attach gene names (and optionally peak_type/distance) to ranked peaks
+    in ``uns["rank_genes_groups"]`` (reference muon/_atac/tools.py:251-334)."""
+    adata = _get_atac(data)
 
-    return impl(*args, **kwargs)
+    if "rank_genes_groups" not in adata.uns:
+        raise KeyError(
+            "There is no .uns['rank_genes_groups'] yet. Run "
+            "muon_tpu.tl.rank_genes_groups first."
+        )
+    if "atac" not in adata.uns or "peak_annotation" not in adata.uns["atac"]:
+        raise KeyError(
+            "There is no peak annotation yet. Run "
+            "muon_tpu.atac.pp.add_peak_annotation first."
+        )
+
+    annotation = adata.uns["atac"]["peak_annotation"]
+    if "peak" not in annotation.columns:
+        raise KeyError("Peak annotation has to contain 'peak' column.")
+
+    index_name = annotation.index.name
+    columns = [index_name]
+    if add_peak_type:
+        if "peak_type" not in annotation.columns:
+            raise KeyError("Peak annotation has to contain 'peak_type' column.")
+        columns.append("peak_type")
+        adata.uns["rank_genes_groups"]["peak_type"] = {}
+    if add_distance:
+        if "distance" not in annotation.columns:
+            raise KeyError("Peak annotation has to contain 'distance' column.")
+        columns.append("distance")
+        adata.uns["rank_genes_groups"]["distance"] = {}
+        annotation = annotation.copy()
+        annotation["distance"] = annotation["distance"].astype(str)
+    peaks_genes = (
+        annotation.reset_index(drop=False)
+        .loc[:, ["peak", *columns]]
+        .set_index("peak")
+    )
+
+    adata.uns["rank_genes_groups"]["genes"] = {}
+    for i in adata.uns["rank_genes_groups"]["names"].dtype.names:
+        ann_ordered = (
+            pd.DataFrame(adata.uns["rank_genes_groups"]["names"][i])
+            .rename({0: "peak"}, axis=1)
+            .join(peaks_genes, on="peak", how="inner", sort=False)
+            .groupby("peak", sort=False)
+            .agg(lambda s: ", ".join(map(str, s)))
+        )
+        adata.uns["rank_genes_groups"]["genes"][i] = ann_ordered[index_name].values
+        if add_peak_type:
+            adata.uns["rank_genes_groups"]["peak_type"][i] = (
+                ann_ordered["peak_type"].values
+            )
+        if add_distance:
+            adata.uns["rank_genes_groups"]["distance"][i] = (
+                ann_ordered["distance"].values
+            )
+
+    adata.uns["rank_genes_groups"]["genes"] = pd.DataFrame(
+        adata.uns["rank_genes_groups"]["genes"]
+    ).to_records(index=False)
 
 
-def rank_peaks_groups(*args, **kwargs):
-    from .annotation import rank_peaks_groups as impl
+def rank_peaks_groups(
+    data: Union[AnnData, MuData],
+    groupby: str,
+    add_peak_type: bool = False,
+    add_distance: bool = False,
+    **kwargs,
+):
+    """Rank peaks per cluster then annotate with gene names — device-side
+    differential accessibility (muon_tpu.tl.rank_genes_groups) followed by
+    add_genes_peaks_groups (reference muon/_atac/tools.py:337-373, which
+    delegates ranking to scanpy)."""
+    adata = _get_atac(data)
 
-    return impl(*args, **kwargs)
+    from .._core.tools_de import rank_genes_groups
 
-
-def locate_file(*args, **kwargs):
-    from .files import locate_file as impl
-
-    return impl(*args, **kwargs)
-
-
-def locate_genome(*args, **kwargs):
-    from .files import locate_genome as impl
-
-    return impl(*args, **kwargs)
-
-
-def locate_fragments(*args, **kwargs):
-    from .files import locate_fragments as impl
-
-    return impl(*args, **kwargs)
+    rank_genes_groups(adata, groupby, **kwargs)
+    add_genes_peaks_groups(
+        adata, add_peak_type=add_peak_type, add_distance=add_distance
+    )
 
 
-def initialise_default_files(*args, **kwargs):
-    from .files import initialise_default_files as impl
-
-    return impl(*args, **kwargs)
-
-
-def count_fragments_features(*args, **kwargs):
-    from .fragments import count_fragments_features as impl
-
-    return impl(*args, **kwargs)
+# ---------------------------------------------------------------------------
+# File registry (reference muon/_atac/tools.py:569-743)
+# ---------------------------------------------------------------------------
 
 
-def tss_enrichment(*args, **kwargs):
-    from .fragments import tss_enrichment as impl
+def locate_file(data: Union[AnnData, MuData], key: str, file: str):
+    """Register an existing file path under ``uns["files"][key]``
+    (reference muon/_atac/tools.py:569-596)."""
+    adata = _get_atac(data)
+    if not os.path.exists(file):
+        raise FileNotFoundError(f"File {file} does not exist")
+    if "files" not in adata.uns:
+        adata.uns["files"] = dict()
+    adata.uns["files"][key] = file
 
-    return impl(*args, **kwargs)
+
+def locate_genome(data: Union[AnnData, MuData], fasta_file: str):
+    """Register the genome FASTA under ``uns["files"]["genome"]``
+    (reference muon/_atac/tools.py:599-618)."""
+    if not isinstance(data, AnnData) and not (
+        isinstance(data, MuData) and "atac" in data.mod
+    ):
+        raise TypeError("Expected AnnData or MuData object with 'atac' modality")
+    locate_file(data, "genome", fasta_file)
 
 
-def nucleosome_signal(*args, **kwargs):
-    from .fragments import nucleosome_signal as impl
+def locate_fragments(
+    data: Union[AnnData, MuData], fragments: str, return_fragments: bool = False
+):
+    """Validate a tabix-indexed fragments file and register it under
+    ``uns["files"]["fragments"]`` (reference muon/_atac/tools.py:640-690 —
+    connection opened with the native engine instead of pysam)."""
+    frag = None
+    try:
+        adata = _get_atac(data)
 
-    return impl(*args, **kwargs)
+        from .fragments import TabixFragments
+
+        frag = TabixFragments(fragments)
+
+        if "files" not in adata.uns:
+            adata.uns["files"] = dict()
+        adata.uns["files"]["fragments"] = fragments
+
+        if return_fragments:
+            return frag
+    except Exception as e:
+        print(e)
+    finally:
+        if frag is not None and not return_fragments:
+            frag.close()
 
 
-def fetch_regions_to_df(*args, **kwargs):
-    from .fragments import fetch_regions_to_df as impl
+def initialise_default_files(data: Union[AnnData, MuData], path):
+    """Auto-locate CellRanger sidecar files next to the count matrix
+    (reference muon/_atac/tools.py:693-743)."""
+    adata = _get_atac(data)
 
-    return impl(*args, **kwargs)
+    default_annotation = os.path.join(
+        os.path.dirname(str(path)), "atac_peak_annotation.tsv"
+    )
+    if os.path.exists(default_annotation):
+        try:
+            add_peak_annotation(adata, default_annotation)
+            print(
+                f"Added peak annotation from {default_annotation} to "
+                ".uns['atac']['peak_annotation']"
+            )
+            if isinstance(data, MuData):
+                try:
+                    add_peak_annotation_gene_names(data)
+                    print(
+                        "Added gene names to peak annotation in "
+                        ".uns['atac']['peak_annotation']"
+                    )
+                except Exception:
+                    pass
+        except AttributeError:
+            warn(
+                f"Peak annotation from {default_annotation} could not be "
+                "added. Please check the annotation file is formatted "
+                "correctly."
+            )
+
+    default_fragments = os.path.join(
+        os.path.dirname(str(path)), "atac_fragments.tsv.gz"
+    )
+    if os.path.exists(default_fragments):
+        print(f"Located fragments file: {default_fragments}")
+        locate_fragments(adata, default_fragments)
+
+
+# ---------------------------------------------------------------------------
+# Fragment aggregation + QC (reference muon/_atac/tools.py:746-1263); the
+# per-record Python loops become native batch fetches + device kernels.
+# ---------------------------------------------------------------------------
+
+
+def _open_fragments(adata, barcodes: Optional[str] = None):
+    if "files" not in adata.uns or "fragments" not in adata.uns["files"]:
+        raise KeyError(
+            "There is no fragments file located yet. Run "
+            "muon_tpu.atac.tl.locate_fragments first."
+        )
+    from .fragments import TabixFragments
+
+    if barcodes and barcodes in adata.obs.columns:
+        bcs = adata.obs[barcodes].astype(str).tolist()
+    else:
+        bcs = adata.obs.index.astype(str).tolist()
+    return TabixFragments(adata.uns["files"]["fragments"], barcodes=bcs)
+
+
+def _resolve_features(data, features):
+    if features is not None:
+        return features
+    if (
+        isinstance(data, MuData)
+        and "rna" in data.mod
+        and "interval" in data.mod["rna"].var.columns
+    ):
+        from ..rna.utils import get_gene_annotation_from_rna
+
+        return get_gene_annotation_from_rna(data)
+    raise ValueError(
+        "Argument `features` is required. It should be a BED-like DataFrame "
+        "with gene coordinates and names."
+    )
+
+
+def count_fragments_features(
+    data: Union[AnnData, MuData],
+    features: Optional[pd.DataFrame] = None,
+    stranded: bool = False,
+    extend_upstream: int = 2000,
+    extend_downstream: int = 0,
+    count_reads: bool = True,
+) -> AnnData:
+    """Count fragments overlapping features → cells × features AnnData
+    (reference muon/_atac/tools.py:746-891). Promoter extension is strand-
+    aware when ``stranded=True``; ``count_reads`` accumulates the per-
+    fragment read support (score column) instead of 1."""
+    from scipy import sparse as sp
+
+    adata = _get_atac(data)
+    features = _resolve_features(data, features)
+
+    f_cols = np.array([c.lower() for c in features.columns.values])
+    for col in ("start", "end"):
+        if col not in f_cols:
+            raise ValueError(f"No column with feature {col}s could be found")
+    chrom_col = None
+    for col in ("chromosome", "chrom", "chr"):
+        if col in f_cols:
+            chrom_col = col
+            break
+    if chrom_col is None:
+        raise ValueError("No column with chromosome for features could be found")
+
+    start_col = features.columns.values[np.where(f_cols == "start")[0][0]]
+    end_col = features.columns.values[np.where(f_cols == "end")[0][0]]
+    chr_col = features.columns.values[np.where(f_cols == chrom_col)[0][0]]
+    strand_col = None
+    if stranded:
+        if "strand" not in f_cols:
+            raise ValueError("No column with strand for features could be found")
+        strand_col = features.columns.values[np.where(f_cols == "strand")[0][0]]
+
+    if count_reads:
+        warn(
+            "From v0.2, by default, unique fragments will be counted instead "
+            "of reads.",
+            FutureWarning,
+            stacklevel=2,
+        )
+
+    n = adata.n_obs
+    n_features = features.shape[0]
+
+    rows, cols, vals = [], [], []
+    with _open_fragments(adata) as frags:
+        starts = features[start_col].to_numpy()
+        ends = features[end_col].to_numpy()
+        chroms = features[chr_col].astype(str).to_numpy()
+        if stranded:
+            minus = (features[strand_col].astype(str) == "-").to_numpy()
+        for i in range(n_features):
+            if stranded and minus[i]:
+                f_from = starts[i] - extend_downstream
+                f_to = ends[i] + extend_upstream
+            else:
+                f_from = starts[i] - extend_upstream
+                f_to = ends[i] + extend_downstream
+            res = frags.fetch(chroms[i], int(f_from), int(f_to))
+            cells = res["cells"]
+            keep = cells >= 0
+            if not keep.any():
+                continue
+            rows.append(np.full(int(keep.sum()), i, np.int32))
+            cols.append(cells[keep])
+            vals.append(
+                res["scores"][keep]
+                if count_reads
+                else np.ones(int(keep.sum()), np.int32)
+            )
+
+    if rows:
+        mx = sp.coo_matrix(
+            (
+                np.concatenate(vals),
+                (np.concatenate(rows), np.concatenate(cols)),
+            ),
+            shape=(n_features, n),
+            dtype=np.int64,
+        ).tocsr()
+    else:
+        mx = sp.csr_matrix((n_features, n), dtype=np.int64)
+
+    return AnnData(X=mx.transpose().tocsr(), obs=adata.obs.copy(), var=features)
+
+
+def tss_enrichment(
+    data: Union[AnnData, MuData],
+    features: Optional[pd.DataFrame] = None,
+    extend_upstream: int = 1000,
+    extend_downstream: int = 1000,
+    n_tss: int = 2000,
+    return_tss: bool = True,
+    random_state=None,
+    barcodes: Optional[str] = None,
+):
+    """ENCODE TSS enrichment: pile up fragment coverage around ≤ n_tss
+    sampled TSS, score = center mean / flank mean; writes
+    ``obs["tss_score"]`` (reference muon/_atac/tools.py:894-984). The
+    per-fragment pileup runs as a device scatter+cumsum kernel
+    (muon_tpu.ops.pileup)."""
+    adata = _get_atac(data)
+    features = _resolve_features(data, features)
+
+    if features.shape[0] > n_tss:
+        features = features.sample(n=n_tss, random_state=random_state)
+
+    tss_pileup = _tss_pileup(
+        adata,
+        features,
+        extend_upstream=extend_upstream,
+        extend_downstream=extend_downstream,
+        barcodes=barcodes,
+    )
+
+    flank_means, center_means = _calculate_tss_score(data=tss_pileup)
+    tss_pileup.X = tss_pileup.X / flank_means[:, None]
+    tss_scores = center_means / flank_means
+
+    adata.obs["tss_score"] = tss_scores
+    tss_pileup.obs["tss_score"] = tss_scores
+
+    if return_tss:
+        return tss_pileup
+
+
+def _tss_pileup(
+    adata: AnnData,
+    features: pd.DataFrame,
+    extend_upstream: int = 1000,
+    extend_downstream: int = 1000,
+    barcodes: Optional[str] = None,
+) -> AnnData:
+    """Pile up fragments around TSS into a cells × positions AnnData
+    (reference muon/_atac/tools.py:987-1068)."""
+    n = adata.n_obs
+    n_pos = extend_downstream + extend_upstream + 1
+
+    all_cells, all_starts, all_ends, all_scores = [], [], [], []
+    with _open_fragments(adata, barcodes=barcodes) as frags:
+        chromosomes = set(frags.contigs)
+        features = features[features["Chromosome"].isin(chromosomes)]
+        f_chr = features["Chromosome"].astype(str).to_numpy()
+        f_start = features["Start"].to_numpy()
+        for i in range(features.shape[0]):
+            tss_start = int(f_start[i]) - extend_upstream
+            res = frags.fetch(
+                f_chr[i],
+                int(f_start[i]) - extend_upstream,
+                int(f_start[i]) + extend_downstream,
+            )
+            if len(res["starts"]) == 0:
+                continue
+            all_cells.append(res["cells"])
+            all_starts.append(res["starts"] - tss_start)
+            all_ends.append(res["ends"] - tss_start)
+            all_scores.append(res["scores"])
+
+    from ..ops.pileup import interval_pileup
+
+    if all_cells:
+        mx = interval_pileup(
+            np.concatenate(all_cells),
+            np.concatenate(all_starts),
+            np.concatenate(all_ends),
+            np.concatenate(all_scores),
+            n_cells=n,
+            n_pos=n_pos,
+        )
+    else:
+        mx = np.zeros((n, n_pos), np.int32)
+
+    anno = pd.DataFrame(
+        {"TSS_position": range(-extend_upstream, extend_downstream + 1)}
+    )
+    anno.index = anno.index.astype(str)
+    return AnnData(X=mx, obs=adata.obs.copy(), var=anno)
+
+
+def _calculate_tss_score(data: AnnData, flank_size: int = 100, center_size: int = 1001):
+    """ENCODE TSS score: center mean / flank mean per cell (reference
+    muon/_atac/tools.py:1071-1106)."""
+    region_size = data.X.shape[1]
+    if center_size > region_size:
+        raise ValueError(
+            f"`center_size` ({center_size}) must smaller than the piled up "
+            f"region ({region_size})."
+        )
+    if center_size % 2 == 0:
+        raise ValueError(
+            f"`center_size` must be an uneven number, but is {center_size}."
+        )
+
+    X = np.asarray(data.X, dtype=np.float64)
+    flanks = np.hstack((X[:, :flank_size], X[:, -flank_size:]))
+    flank_means = flanks.mean(axis=1)
+    flank_means[flank_means == 0] = flank_means.mean()
+
+    center_dist = (region_size - center_size) // 2
+    centers = X[:, center_dist:-center_dist] if center_dist else X
+    center_means = centers.mean(axis=1)
+    return flank_means, center_means
+
+
+def nucleosome_signal(
+    data: Union[AnnData, MuData],
+    n: Optional[Union[int, float]] = None,
+    nucleosome_free_upper_bound: int = 147,
+    mononuleosomal_upper_bound: int = 294,
+    barcodes: Optional[str] = None,
+):
+    """Per-cell ratio of mono-nucleosomal (147–294 bp) to nucleosome-free
+    (<147 bp) fragments over the first n records → ``obs["nucleosome_signal"]``
+    (reference muon/_atac/tools.py:1109-1201). The record scan runs in the
+    native engine; the binning is one vectorized pass."""
+    adata = _get_atac(data)
+
+    with _open_fragments(adata, barcodes=barcodes) as frags:
+        if n is None:
+            n = int(adata.n_obs * 1e4)
+        res = frags.stream(int(n))
+
+    cells = res["cells"]
+    lengths = res["ends"] - res["starts"]
+    keep = cells >= 0
+    cells, lengths = cells[keep], lengths[keep]
+
+    nf = np.bincount(
+        cells[lengths < nucleosome_free_upper_bound], minlength=adata.n_obs
+    )
+    mono = np.bincount(
+        cells[
+            (lengths >= nucleosome_free_upper_bound)
+            & (lengths < mononuleosomal_upper_bound)
+        ],
+        minlength=adata.n_obs,
+    )
+    mat = np.stack([nf, mono], axis=1)
+    mat[mat[:, 0] == 0, :] += 1  # prevent division by 0 (reference :1185)
+    adata.obs["nucleosome_signal"] = mat[:, 1] / mat[:, 0]
+    return None
+
+
+def fetch_regions_to_df(
+    fragment_path: str,
+    features: Union[pd.DataFrame, str],
+    extend_upstream: int = 0,
+    extend_downstream: int = 0,
+    relative_coordinates: bool = False,
+) -> pd.DataFrame:
+    """Fetch fragments over regions into a tidy DataFrame (reference
+    muon/_atac/tools.py:1204-1263)."""
+    from .fragments import TabixFragments
+
+    if isinstance(features, str):
+        features = utils.parse_region_string(features)
+
+    dfs = []
+    with TabixFragments(fragment_path) as frags:
+        for i in range(features.shape[0]):
+            f = features.iloc[i]
+            res = frags.fetch(
+                str(f.Chromosome),
+                int(f.Start) - extend_upstream,
+                int(f.End) + extend_downstream,
+                names=True,
+            )
+            if len(res["starts"]) == 0:
+                continue
+            df = pd.DataFrame(
+                {
+                    "Chromosome": str(f.Chromosome),
+                    "Start": res["starts"],
+                    "End": res["ends"],
+                    "Cell": res["names"],
+                    "Score": res["scores"],
+                }
+            )
+            df["Feature"] = f"{f.Chromosome}_{f.Start}_{f.End}"
+            if relative_coordinates:
+                middle = int(f.Start + (f.End - f.Start) / 2)
+                df["Start"] = df["Start"] - middle
+                df["End"] = df["End"] - middle
+            dfs.append(df)
+
+    return pd.concat(dfs, axis=0, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Motifs (separate milestone: muon_tpu/atac/motifs.py)
+# ---------------------------------------------------------------------------
 
 
 def scan_sequences(*args, **kwargs):
-    from .motifs import scan_sequences as impl
+    """PWM motif scanning over sequences (reference muon/_atac/tools.py:446-517)
+    as a batched one-hot log-odds convolution on device."""
+    from .motifs import scan_sequences as _impl
 
-    return impl(*args, **kwargs)
+    return _impl(*args, **kwargs)
 
 
 def get_sequences(*args, **kwargs):
-    from .motifs import get_sequences as impl
+    """Extract peak sequences from an indexed genome FASTA (reference
+    muon/_atac/tools.py:520-566) via the in-repo FASTA reader."""
+    from .motifs import get_sequences as _impl
 
-    return impl(*args, **kwargs)
+    return _impl(*args, **kwargs)

@@ -1,0 +1,77 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+The fragments engine (fragments.cpp) replaces the reference's pysam/htslib
+dependency for bgzf/tabix fragment streaming. The shared library is built
+on demand with g++ (no pybind11 in the image); rebuilt automatically when
+the source is newer than the binary.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from functools import lru_cache
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "fragments.cpp")
+_LIB = os.path.join(_HERE, "libmuon_fragments.so")
+_BUILD_LOCK = threading.Lock()
+
+
+def _ensure_built() -> str:
+    with _BUILD_LOCK:
+        if (
+            not os.path.exists(_LIB)
+            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+        ):
+            cmd = [
+                "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                _SRC, "-o", _LIB, "-lz",
+            ]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True, text=True)
+            except (subprocess.CalledProcessError, FileNotFoundError) as e:
+                msg = getattr(e, "stderr", str(e))
+                raise RuntimeError(
+                    f"failed to build native fragments library: {msg}"
+                ) from e
+    return _LIB
+
+
+@lru_cache(maxsize=1)
+def load_fragments_lib() -> ctypes.CDLL:
+    lib = ctypes.CDLL(_ensure_built())
+    c = ctypes
+    lib.frag_open.restype = c.c_void_p
+    lib.frag_open.argtypes = [c.c_char_p]
+    lib.frag_close.argtypes = [c.c_void_p]
+    lib.frag_n_contigs.restype = c.c_int
+    lib.frag_n_contigs.argtypes = [c.c_void_p]
+    lib.frag_contig_name.restype = c.c_char_p
+    lib.frag_contig_name.argtypes = [c.c_void_p, c.c_int]
+    lib.frag_set_barcodes.argtypes = [c.c_void_p, c.c_char_p, c.c_int]
+    lib.frag_fetch.restype = c.c_long
+    lib.frag_fetch.argtypes = [c.c_void_p, c.c_char_p, c.c_long, c.c_long]
+    lib.frag_stream.restype = c.c_long
+    lib.frag_stream.argtypes = [c.c_void_p, c.c_long]
+    for name, ty in [
+        ("frag_starts", c.POINTER(c.c_int64)),
+        ("frag_ends", c.POINTER(c.c_int64)),
+        ("frag_cells", c.POINTER(c.c_int32)),
+        ("frag_scores", c.POINTER(c.c_int32)),
+        ("frag_name_offsets", c.POINTER(c.c_int32)),
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = ty
+        fn.argtypes = [c.c_void_p]
+    lib.frag_name_buf.restype = c.c_void_p
+    lib.frag_name_buf.argtypes = [c.c_void_p]
+    lib.frag_name_buf_len.restype = c.c_long
+    lib.frag_name_buf_len.argtypes = [c.c_void_p]
+    lib.frag_write_bgzf.restype = c.c_int
+    lib.frag_write_bgzf.argtypes = [c.c_char_p, c.c_char_p, c.c_long]
+    lib.tabix_build.restype = c.c_int
+    lib.tabix_build.argtypes = [c.c_char_p]
+    return lib
