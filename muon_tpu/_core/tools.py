@@ -16,5 +16,6 @@ from __future__ import annotations
 from .tools_mofa import mofa  # noqa: F401
 from .tools_graph import snf, leiden, louvain, umap  # noqa: F401
 from .tools_misc import ica  # noqa: F401
+from .tools_de import rank_genes_groups  # noqa: F401
 
 __all__ = ["mofa", "snf", "leiden", "louvain", "umap", "ica"]

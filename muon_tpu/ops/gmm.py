@@ -147,8 +147,16 @@ def background_means(
     X: (n_cells, n_proteins) log-scaled values. Returns (n_cells,) of the
     smaller component mean of the better (tied vs full covariance) fit —
     the vectorized equivalent of the reference's per-cell loop
-    (muon/_prot/preproc.py:189-198)."""
+    (muon/_prot/preproc.py:189-198).
+
+    The cells axis is padded to a power-of-two bucket so the jitted EM
+    program compiles once per protein-panel size, not once per dataset."""
     jax, jnp = _jax()
     f = _background_means_fn(int(n_iter), float(tol))
     key = jax.random.PRNGKey(seed)
-    return np.asarray(f(jnp.asarray(X), key))
+    X = np.asarray(X)
+    n = X.shape[0]
+    n_pad = max(64, 1 << (n - 1).bit_length())
+    if n_pad != n:
+        X = np.concatenate([X, np.ones((n_pad - n, X.shape[1]), X.dtype)], axis=0)
+    return np.asarray(f(jnp.asarray(X), key))[:n]

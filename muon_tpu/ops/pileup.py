@@ -54,12 +54,23 @@ def interval_pileup(cells, starts, ends, scores, n_cells: int, n_pos: int):
     fragment weights. Returns (n_cells, n_pos) int32."""
     jax, jnp = _jax()
     f = _pileup_fn()
+    cells = np.asarray(cells, np.int32)
+    # pad the fragment axis to a power-of-two bucket: one compile per
+    # (n_cells, n_pos) pair instead of one per query's record count
+    nnz = cells.shape[0]
+    pad = max(4096, 1 << max(nnz - 1, 1).bit_length())
+    ext = pad - nnz
+
+    def p(a, fill):
+        a = np.asarray(a, np.int32)
+        return np.concatenate([a, np.full(ext, fill, np.int32)]) if ext else a
+
     return np.asarray(
         f(
-            jnp.asarray(cells, jnp.int32),
-            jnp.asarray(starts, jnp.int32),
-            jnp.asarray(ends, jnp.int32),
-            jnp.asarray(scores, jnp.int32),
+            p(cells, -1),
+            p(starts, 0),
+            p(ends, 0),
+            p(scores, 0),
             int(n_cells),
             int(n_pos),
         )
