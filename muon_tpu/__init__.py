@@ -26,7 +26,7 @@ from ._core.config import set_options
 from ._core import preproc as pp
 from ._core import tools as tl
 from ._core import plot as pl
-from ._core import utils
+from . import utils
 
 from . import atac
 from . import prot

@@ -12,6 +12,7 @@ OPTIONS = {
     "use_pallas": "auto",    # "auto" | True | False — use Pallas kernels when on TPU
     "compute_dtype": "float32",
     "display_style": "text",  # kept for mudata-parity ("text" | "html")
+    "profile": False,         # per-stage wall timers (muon_tpu.utils.profiling)
 }
 
 _VALID_OPTIONS = {
@@ -19,6 +20,7 @@ _VALID_OPTIONS = {
     "use_pallas": lambda x: x in ("auto", True, False),
     "compute_dtype": lambda x: x in ("float32", "float64", "bfloat16"),
     "display_style": lambda x: x in ("text", "html"),
+    "profile": lambda x: x in (True, False),
 }
 
 

@@ -194,16 +194,18 @@ def mofa(
         liks = [likelihoods] * len(views)
     else:
         liks = list(likelihoods)
-    for i, lk in enumerate(liks):
-        if lk != "gaussian":
-            warn(
-                f"View '{views[i]}' guessed/declared {lk}; the TPU engine "
-                f"currently trains all views with the gaussian likelihood "
-                f"(bound-based {lk} updates are on the roadmap)."
+    for lk in liks:
+        if lk not in ("gaussian", "bernoulli", "poisson"):
+            raise ValueError(
+                f"Unknown likelihood {lk!r}; expected gaussian, bernoulli, "
+                "or poisson"
             )
 
-    # -- center / scale (mofapy2 process_data semantics) -------------------------
+    # -- center / scale (mofapy2 process_data semantics; only gaussian views
+    # are centered/scaled — bound-based likelihoods keep raw counts) --------
     for i, Y in enumerate(Ys):
+        if liks[i] != "gaussian":
+            continue
         if center_groups:
             for g in range(G):
                 rows = groups == g
@@ -235,14 +237,40 @@ def mofa(
             f"Training MOFA+ on TPU: {len(views)} views, {N} cells, "
             f"K={n_factors}..."
         )
-    res = fit_mofa(
-        Ys,
-        config,
+    fit_kwargs = dict(
         groups=groups,
         n_iterations=n_iterations,
         convergence_mode=convergence_mode,
         verbose=verbose and not quiet,
+        svi_mode=svi_mode,
+        svi_batch_fraction=svi_batch_size,
+        svi_learning_rate=svi_learning_rate,
+        svi_forgetting_rate=svi_forgetting_rate,
+        svi_start_stochastic=svi_start_stochastic,
     )
+    if save_interrupted:
+        # persist the full VB state alongside the model on Ctrl-C so a
+        # partially trained model survives (reference passes the analogous
+        # flag to mofapy2 at muon/_core/tools.py:408-409,501)
+        fit_kwargs["checkpoint_path"] = outfile + ".interrupted.npz"
+        fit_kwargs["checkpoint_every"] = max(25, n_iterations // 20)
+    try:
+        res = fit_mofa(Ys, config, **fit_kwargs)
+    except KeyboardInterrupt:
+        if save_interrupted:
+            warn(
+                "Training interrupted — partial VB state is at "
+                f"{outfile}.interrupted.npz (resume via "
+                "muon_tpu.models.mofa.fit_mofa(resume_from=...))"
+            )
+        raise
+    else:
+        if save_interrupted:
+            # training finished cleanly: drop the scratch checkpoint
+            try:
+                os.remove(outfile + ".interrupted.npz")
+            except OSError:
+                pass
 
     # -- save model (mofapy2 HDF5 layout, reference readback parity:
     #    muon/_core/tools.py:604-701) ------------------------------------------

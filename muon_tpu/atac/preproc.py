@@ -72,13 +72,12 @@ def tfidf(
 
         X = counts.tocsr()
         dX = dsp.from_scipy(X)
-        new_data = np.asarray(
-            dsp.tfidf_data(
-                dX, log_tf=log_tf, log_idf=log_idf, log_tfidf=log_tfidf,
-                scale_factor=scale_factor,
-            )
+        new_data = dsp.tfidf_data(
+            dX, log_tf=log_tf, log_idf=log_idf, log_tfidf=log_tfidf,
+            scale_factor=scale_factor,
         )
-        res = dsp.to_scipy_data(X, new_data)
+        # values stay device-resident; downstream lsi/pca skip the re-upload
+        res = dsp.to_scipy_data(X, new_data, device_X=dX)
     else:
         # dense input: tiny/test-scale data — compute in f64 on host for
         # bit-parity with the reference's numpy path (golden values in

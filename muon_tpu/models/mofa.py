@@ -87,12 +87,32 @@ def _digamma(x):
     return jax.scipy.special.digamma(x)
 
 
-def _make_step(config: MOFAConfig, Ds: Sequence[int], N: int, masked: Sequence[bool]):
-    """Build the jitted coordinate-ascent sweep for static shapes."""
+def _make_step(
+    config: MOFAConfig,
+    Ds: Sequence[int],
+    N: int,
+    masked: Sequence[bool],
+    liks: Optional[Sequence[str]] = None,
+):
+    """Build the jitted coordinate-ascent sweep for static shapes.
+
+    Non-gaussian views (bernoulli / poisson) train through local quadratic
+    bounds recomputed at the start of every sweep (mofapy2's scheme):
+    - bernoulli (Jaakkola): per-entry precision T = 2λ(ζ)·mask with
+      ζ² = E[(z·w)²]; the precision-weighted residual (y − ½)·mask − T·F
+      slots into the masked-path math with τ ≡ 1 (per-entry precision is
+      just a continuous "mask").
+    - poisson (Seeger): per-feature precision κ_d = ¼ + 0.17·max_n(y_nd);
+      pseudodata ζ − σ(ζ)(1 − y/softplus(ζ))/κ with ζ = E[z·w].
+    For these views τ is fixed by the bound (never updated).
+    """
     jax, jnp = _jax()
     K = config.n_factors
     M = len(Ds)
     G = config.n_groups
+    if liks is None:
+        liks = ["gaussian"] * M
+    nongauss = [lk in ("bernoulli", "poisson") for lk in liks]
 
     def step(state):
         Zm, Zv = state["Z_mean"], state["Z_var"]
@@ -105,12 +125,49 @@ def _make_step(config: MOFAConfig, Ds: Sequence[int], N: int, masked: Sequence[b
 
         new_W, new_Wv, new_S = [], [], []
         Es = list(state["E"])
+        masks_eff = list(state["mask"])
+
+        # ---------- non-gaussian: refresh bound precisions + pseudodata ----
+        z2_top = Zv + Zm * Zm
+        for m in range(M):
+            if not nongauss[m]:
+                continue
+            SWm = state["SW"][m]
+            SWWm = state["S"][m] * (
+                state["W_var"][m] + state["W_hat"][m] ** 2
+            )
+            M01 = state["M01"][m]            # (N, D) 0/1 observed mask
+            Y0 = state["Y0"][m]              # raw y · mask
+            F = Zm @ SWm.T                   # (N, D) E[z·w]
+            if liks[m] == "bernoulli":
+                e2 = (
+                    F * F
+                    + z2_top @ SWWm.T
+                    - (Zm * Zm) @ (SWm * SWm).T
+                )
+                zeta = jnp.sqrt(jnp.maximum(e2, 1e-10))
+                lam = jnp.where(
+                    zeta > 1e-4,
+                    jnp.tanh(zeta / 2.0) / (4.0 * zeta),
+                    0.125,
+                )
+                T = 2.0 * lam * M01
+                masks_eff[m] = T
+                Es[m] = (Y0 - 0.5 * M01) - T * F
+            else:  # poisson
+                kappa = state["tau"][m]      # (D,) fixed bound precision
+                rate = jax.nn.softplus(F)
+                pseudo = F - jax.nn.sigmoid(F) * (
+                    1.0 - Y0 / jnp.maximum(rate, 1e-6)
+                ) / kappa[None, :]
+                Es[m] = (pseudo - F) * M01
+                masks_eff[m] = M01
 
         # ---------------- W sweep (per view) ----------------
         for m in range(M):
             D = Ds[m]
             tau = state["tau"][m]            # (D,)
-            B = state["mask"][m] if masked[m] else None  # (N, D) f32 or None
+            B = masks_eff[m] if masked[m] else None  # (N, D) f32 or None
             E = Es[m]                        # (N, D) masked residual
             SW = state["SW"][m]              # (D, K)
             Wv = state["W_var"][m]
@@ -200,7 +257,7 @@ def _make_step(config: MOFAConfig, Ds: Sequence[int], N: int, masked: Sequence[b
             b = jnp.zeros((N,), Zm.dtype)
             for m in range(M):
                 tau = state["tau"][m]
-                B = state["mask"][m] if masked[m] else None
+                B = masks_eff[m] if masked[m] else None
                 swk = jax.lax.dynamic_slice_in_dim(SWs[m], k, 1, 1)[:, 0]
                 tsw = tau * swk
                 if B is None:
@@ -216,7 +273,7 @@ def _make_step(config: MOFAConfig, Ds: Sequence[int], N: int, masked: Sequence[b
             new_Es = []
             for m in range(M):
                 swk = jax.lax.dynamic_slice_in_dim(SWs[m], k, 1, 1)[:, 0]
-                B = state["mask"][m] if masked[m] else None
+                B = masks_eff[m] if masked[m] else None
                 corr = delta[:, None] * swk[None, :]
                 new_Es.append(Es[m] + (corr * B if B is not None else corr))
             Zm = jax.lax.dynamic_update_slice_in_dim(Zm, z_new[:, None], k, 1)
@@ -237,7 +294,7 @@ def _make_step(config: MOFAConfig, Ds: Sequence[int], N: int, masked: Sequence[b
         ss_views = []
         n_d_views = []
         for m in range(M):
-            B = state["mask"][m] if masked[m] else None
+            B = masks_eff[m] if masked[m] else None
             E = Es[m]
             ss = (E * E).sum(axis=0)
             if B is None:
@@ -252,6 +309,11 @@ def _make_step(config: MOFAConfig, Ds: Sequence[int], N: int, masked: Sequence[b
 
         new_tau, new_ln_tau = [], []
         for m in range(M):
+            if nongauss[m]:
+                # τ is fixed by the quadratic bound, never inferred
+                new_tau.append(state["tau"][m])
+                new_ln_tau.append(state["ln_tau"][m])
+                continue
             a = A0 + 0.5 * n_d_views[m]
             b = B0 + 0.5 * ss_views[m]
             new_tau.append(a / b)
@@ -329,7 +391,9 @@ def _make_step(config: MOFAConfig, Ds: Sequence[int], N: int, masked: Sequence[b
             "Z_var": Zv,
             "G": Gh,
             "E": Es,
-            "mask": state["mask"],
+            "mask": masks_eff,
+            "M01": state["M01"],
+            "Y0": state["Y0"],
             "W_hat": Whats,
             "W_var": Wvs,
             "S": Svs,
@@ -350,22 +414,321 @@ def _make_step(config: MOFAConfig, Ds: Sequence[int], N: int, masked: Sequence[b
     return step
 
 
-def _init_state(Ys, masks, groups_onehot, config: MOFAConfig):
+def _make_svi_step(
+    config: MOFAConfig,
+    Ds: Sequence[int],
+    N: int,
+    S: int,
+    liks: Sequence[str],
+):
+    """Stochastic-VI sweep over a size-S cell minibatch (mofapy2's SVI mode,
+    reference option surface muon/_core/tools.py:520-527).
+
+    Local variables (the batch's rows of Z) get exact coordinate updates;
+    global variables (W, τ, α, θ) are re-estimated from batch statistics
+    scaled by N/S and blended into the running values with step size ρ_t —
+    the moment-space form of natural-gradient SVI. Requires raw data
+    retained in state (Y0/M01 for every view)."""
+    jax, jnp = _jax()
+    K = config.n_factors
+    M = len(Ds)
+    scale = N / float(S)
+    nongauss = [lk in ("bernoulli", "poisson") for lk in liks]
+
+    def step(state, batch, rho):
+        take = lambda a: jnp.take(a, batch, axis=0)  # noqa: E731
+        Zm_full, Zv_full = state["Z_mean"], state["Z_var"]
+        Zb = take(Zm_full)
+        Zvb = take(Zv_full)
+        Gb = take(state["G"])
+        alpha = state["alpha"]
+        ln_alpha = state["ln_alpha"]
+        alpha_z = state["alpha_z"]
+        theta_ln = state["theta_ln"]
+        theta_ln1m = state["theta_ln1m"]
+
+        # ---- batch residuals + bound refresh ----
+        # Tgts holds the pseudo-target per view so residuals can be rebuilt
+        # cheaply after the W blend: E = Tgt − B·F (B=None → E = Tgt − F)
+        Es, Bs, Tgts = [], [], []
+        z2b = Zvb + Zb * Zb
+        for m in range(M):
+            SWm = state["SW"][m]
+            Yb = take(state["Y0"][m])
+            Mb = take(state["M01"][m]) if state["M01"][m] is not None else None
+            F = Zb @ SWm.T
+            if not nongauss[m]:
+                if Mb is None:
+                    Tgts.append(Yb)
+                    Es.append(Yb - F)
+                    Bs.append(None)
+                else:
+                    Tgts.append(Yb * Mb)
+                    Es.append(Yb * Mb - F * Mb)
+                    Bs.append(Mb)
+            elif liks[m] == "bernoulli":
+                SWWm = state["S"][m] * (
+                    state["W_var"][m] + state["W_hat"][m] ** 2
+                )
+                Mb = Mb if Mb is not None else jnp.ones_like(Yb)
+                e2 = F * F + z2b @ SWWm.T - (Zb * Zb) @ (SWm * SWm).T
+                zeta = jnp.sqrt(jnp.maximum(e2, 1e-10))
+                lam = jnp.where(
+                    zeta > 1e-4, jnp.tanh(zeta / 2.0) / (4.0 * zeta), 0.125
+                )
+                T = 2.0 * lam * Mb
+                Tgts.append(Yb - 0.5 * Mb)
+                Es.append((Yb - 0.5 * Mb) - T * F)
+                Bs.append(T)
+            else:  # poisson
+                Mb = Mb if Mb is not None else jnp.ones_like(Yb)
+                kappa = state["tau"][m]
+                rate = jax.nn.softplus(F)
+                pseudo = F - jax.nn.sigmoid(F) * (
+                    1.0 - Yb / jnp.maximum(rate, 1e-6)
+                ) / kappa[None, :]
+                Tgts.append(pseudo * Mb)
+                Es.append((pseudo - F) * Mb)
+                Bs.append(Mb)
+
+        # ---- global W sweep from N/S-scaled batch statistics ----
+        new_W, new_Wv, new_S_, new_SW = [], [], [], []
+        for m in range(M):
+            tau = state["tau"][m]
+            B = Bs[m]
+            E = Es[m]
+            SW = state["SW"][m]
+            Wv = state["W_var"][m]
+            Sm = state["S"][m]
+            What = state["W_hat"][m]
+            if B is None:
+                z2_colsum = z2b.sum(axis=0) * scale
+                zz_colsum = (Zb * Zb).sum(axis=0) * scale
+            else:
+                z2B = (z2b.T @ B) * scale
+                zzB = ((Zb * Zb).T @ B) * scale
+
+            def w_body(k, carry):
+                E, What, Wv, Sm, SW = carry
+                zk = jax.lax.dynamic_slice_in_dim(Zb, k, 1, 1)[:, 0]
+                swk = jax.lax.dynamic_slice_in_dim(SW, k, 1, 1)[:, 0]
+                if B is None:
+                    a = tau * z2_colsum[k] + alpha[m, k]
+                    b = tau * scale * (zk @ E) + tau * swk * zz_colsum[k]
+                else:
+                    a = tau * z2B[k] + alpha[m, k]
+                    b = tau * scale * (zk @ E) + tau * swk * zzB[k]
+                w_hat = b / a
+                v_hat = 1.0 / a
+                if config.spikeslab_weights:
+                    lam = (
+                        theta_ln[m, k]
+                        - theta_ln1m[m, k]
+                        + 0.5 * ln_alpha[m, k]
+                        - 0.5 * jnp.log(a)
+                        + 0.5 * b * b / a
+                    )
+                    s = jax.nn.sigmoid(lam)
+                else:
+                    s = jnp.ones_like(w_hat)
+                sw_new = s * w_hat
+                delta = swk - sw_new
+                if B is None:
+                    E = E + zk[:, None] * delta[None, :]
+                else:
+                    E = E + (zk[:, None] * delta[None, :]) * B
+                What = jax.lax.dynamic_update_slice_in_dim(What, w_hat[:, None], k, 1)
+                Wv = jax.lax.dynamic_update_slice_in_dim(Wv, v_hat[:, None], k, 1)
+                Sm = jax.lax.dynamic_update_slice_in_dim(Sm, s[:, None], k, 1)
+                SW = jax.lax.dynamic_update_slice_in_dim(SW, sw_new[:, None], k, 1)
+                return (E, What, Wv, Sm, SW)
+
+            E, What_b, Wv_b, S_b, SW_b = jax.lax.fori_loop(
+                0, K, w_body, (E, What, Wv, Sm, SW)
+            )
+            Es[m] = E
+            # blend batch estimate into globals with step size ρ
+            new_W.append((1 - rho) * What + rho * What_b)
+            new_Wv.append((1 - rho) * Wv + rho * Wv_b)
+            new_S_.append((1 - rho) * Sm + rho * S_b)
+            new_SW.append((1 - rho) * SW + rho * SW_b)
+
+        # ---- rebuild batch residuals with the blended W ----
+        for m in range(M):
+            F = Zb @ new_SW[m].T
+            Es[m] = Tgts[m] - (F if Bs[m] is None else Bs[m] * F)
+
+        # ---- local Z sweep on the batch (exact coordinate ascent) ----
+        prior_prec = (
+            (Gb @ alpha_z) if config.ard_factors else jnp.ones((S, K), Zb.dtype)
+        )
+        SWs = new_SW
+        SWW = [new_S_[m] * (new_Wv[m] + new_W[m] ** 2) for m in range(M)]
+        tSWW = [state["tau"][m][:, None] * SWW[m] for m in range(M)]
+        tSW2 = [state["tau"][m][:, None] * SWs[m] * SWs[m] for m in range(M)]
+
+        def z_body(k, carry):
+            Zb, Zvb, Es = carry
+            p = jax.lax.dynamic_slice_in_dim(prior_prec, k, 1, 1)[:, 0]
+            b = jnp.zeros((S,), Zb.dtype)
+            for m in range(M):
+                tau = state["tau"][m]
+                B = Bs[m]
+                swk = jax.lax.dynamic_slice_in_dim(SWs[m], k, 1, 1)[:, 0]
+                tsw = tau * swk
+                if B is None:
+                    p = p + tSWW[m][:, k].sum()
+                    b = b + Es[m] @ tsw + Zb[:, k] * tSW2[m][:, k].sum()
+                else:
+                    p = p + B @ tSWW[m][:, k]
+                    b = b + Es[m] @ tsw + Zb[:, k] * (B @ tSW2[m][:, k])
+            z_new = b / p
+            v_new = 1.0 / p
+            delta = jax.lax.dynamic_slice_in_dim(Zb, k, 1, 1)[:, 0] - z_new
+            new_Es = []
+            for m in range(M):
+                swk = jax.lax.dynamic_slice_in_dim(SWs[m], k, 1, 1)[:, 0]
+                corr = delta[:, None] * swk[None, :]
+                new_Es.append(Es[m] + (corr * Bs[m] if Bs[m] is not None else corr))
+            Zb = jax.lax.dynamic_update_slice_in_dim(Zb, z_new[:, None], k, 1)
+            Zvb = jax.lax.dynamic_update_slice_in_dim(Zvb, v_new[:, None], k, 1)
+            return (Zb, Zvb, tuple(new_Es))
+
+        Zb, Zvb, Es_t = jax.lax.fori_loop(0, K, z_body, (Zb, Zvb, tuple(Es)))
+        Es = list(Es_t)
+        z2b = Zvb + Zb * Zb
+
+        # ---- global τ / α / θ from scaled batch stats, blended ----
+        SWW_new = [new_S_[m] * (new_Wv[m] + new_W[m] ** 2) for m in range(M)]
+        new_tau, new_ln_tau = [], []
+        new_tau_a, new_tau_b = list(state["tau_a"]), list(state["tau_b"])
+        for m in range(M):
+            if nongauss[m]:
+                new_tau.append(state["tau"][m])
+                new_ln_tau.append(state["ln_tau"][m])
+                continue
+            B = Bs[m]
+            E = Es[m]
+            ss = (E * E).sum(axis=0)
+            if B is None:
+                ss = (
+                    ss
+                    + z2b.sum(0) @ SWW_new[m].T
+                    - (Zb * Zb).sum(0) @ (new_SW[m] * new_SW[m]).T
+                )
+                n_d = float(S)
+            else:
+                corr = z2b @ SWW_new[m].T - (Zb * Zb) @ (new_SW[m] * new_SW[m]).T
+                ss = ss + (corr * B).sum(axis=0)
+                n_d = B.sum(axis=0)
+            # natural-gradient step on q(τ)'s natural parameters: ratio
+            # (moment) blending lets one underdispersed batch blow τ up
+            a_hat = A0 + 0.5 * scale * n_d
+            b_hat = B0 + 0.5 * scale * jnp.maximum(ss, 1e-10)
+            a_new = (1 - rho) * state["tau_a"][m] + rho * a_hat
+            b_new = (1 - rho) * state["tau_b"][m] + rho * b_hat
+            new_tau_a[m] = a_new
+            new_tau_b[m] = b_new
+            new_tau.append(a_new / b_new)
+            new_ln_tau.append(_digamma(a_new) - jnp.log(b_new))
+
+        if config.ard_weights:
+            alpha_new, ln_alpha_new = [], []
+            for m in range(M):
+                w2 = new_S_[m] * (new_Wv[m] + new_W[m] ** 2) + (
+                    1.0 - new_S_[m]
+                ) / alpha[m][None, :]
+                a = A0 + 0.5 * Ds[m]
+                b = B0 + 0.5 * w2.sum(axis=0)
+                alpha_new.append((1 - rho) * alpha[m] + rho * (a / b))
+                ln_alpha_new.append(
+                    (1 - rho) * ln_alpha[m] + rho * (_digamma(a) - jnp.log(b))
+                )
+            alpha = jnp.stack(alpha_new)
+            ln_alpha = jnp.stack(ln_alpha_new)
+
+        if config.ard_factors:
+            Ng = Gb.sum(axis=0) * scale
+            z2_per_group = (Gb.T @ z2b) * scale
+            a = A0 + 0.5 * Ng[:, None]
+            b = B0 + 0.5 * z2_per_group
+            alpha_z = (1 - rho) * alpha_z + rho * (a / b)
+
+        if config.spikeslab_weights:
+            th_ln, th_ln1m, th_mean = [], [], []
+            for m in range(M):
+                sa = THETA_A0 + new_S_[m].sum(axis=0)
+                sb = THETA_B0 + Ds[m] - new_S_[m].sum(axis=0)
+                th_ln.append(_digamma(sa) - _digamma(sa + sb))
+                th_ln1m.append(_digamma(sb) - _digamma(sa + sb))
+                th_mean.append(sa / (sa + sb))
+            theta_ln_n = jnp.stack(th_ln)
+            theta_ln1m_n = jnp.stack(th_ln1m)
+            theta_mean = jnp.stack(th_mean)
+        else:
+            theta_ln_n, theta_ln1m_n = theta_ln, theta_ln1m
+            theta_mean = state["theta_mean"]
+
+        # scatter the batch's Z back
+        Zm_full = Zm_full.at[batch].set(Zb)
+        Zv_full = Zv_full.at[batch].set(Zvb)
+
+        # surrogate objective: scaled batch reconstruction error (monitoring)
+        elbo = 0.0
+        for m in range(M):
+            elbo = elbo - 0.5 * scale * jnp.sum(
+                new_tau[m] * (Es[m] * Es[m]).sum(axis=0)
+            )
+
+        new_state = {
+            **state,
+            "Z_mean": Zm_full,
+            "Z_var": Zv_full,
+            "W_hat": new_W,
+            "W_var": new_Wv,
+            "S": new_S_,
+            "SW": new_SW,
+            "alpha": alpha,
+            "ln_alpha": ln_alpha,
+            "alpha_z": alpha_z,
+            "tau": new_tau,
+            "ln_tau": new_ln_tau,
+            "tau_a": new_tau_a,
+            "tau_b": new_tau_b,
+            "theta_ln": theta_ln_n,
+            "theta_ln1m": theta_ln1m_n,
+            "theta_mean": theta_mean,
+        }
+        return new_state, elbo
+
+    return step
+
+
+def _init_state(
+    Ys, masks, groups_onehot, config: MOFAConfig, liks=None, keep_data=False
+):
     jax, jnp = _jax()
     key = jax.random.PRNGKey(config.seed)
     N = Ys[0].shape[0]
     K = config.n_factors
     M = len(Ys)
     G = config.n_groups
+    if liks is None:
+        liks = ["gaussian"] * M
 
     Zm = jax.random.normal(key, (N, K), dtype=jnp.float32)
     Zv = jnp.ones((N, K), jnp.float32)
+    # independent stream for per-view W inits (bound-based views only);
+    # Z keeps the original key so gaussian-only runs are bit-stable
+    wkeys = jax.random.split(jax.random.fold_in(key, 7), max(len(Ys), 1))
     state = {
         "Z_mean": Zm,
         "Z_var": Zv,
         "G": jnp.asarray(groups_onehot, jnp.float32),
         "E": [],
         "mask": [],
+        "M01": [],
+        "Y0": [],
         "W_hat": [],
         "W_var": [],
         "S": [],
@@ -382,21 +745,94 @@ def _init_state(Ys, masks, groups_onehot, config: MOFAConfig):
     for m, Y in enumerate(Ys):
         D = Y.shape[1]
         B = masks[m]
+        nongauss = liks[m] in ("bernoulli", "poisson")
         Yj = jnp.asarray(np.nan_to_num(Y, nan=0.0), jnp.float32)
-        state["mask"].append(
-            jnp.asarray(B, jnp.float32) if B is not None else None
-        )
-        # W starts at zero → E starts as (masked) Y
-        state["E"].append(Yj if B is None else Yj * jnp.asarray(B, jnp.float32))
-        state["W_hat"].append(jnp.zeros((D, K), jnp.float32))
-        state["W_var"].append(jnp.ones((D, K), jnp.float32))
-        state["S"].append(jnp.full((D, K), 0.5 if config.spikeslab_weights else 1.0,
-                                   jnp.float32))
-        state["SW"].append(jnp.zeros((D, K), jnp.float32))
-        var = np.nanvar(Y, axis=0)
-        var[~np.isfinite(var) | (var == 0)] = 1.0
-        state["tau"].append(jnp.asarray(1.0 / var, jnp.float32))
-        state["ln_tau"].append(jnp.asarray(-np.log(var), jnp.float32))
+        if nongauss:
+            # bound-based views always carry an explicit 0/1 mask + raw data
+            M01 = (
+                jnp.asarray(B, jnp.float32)
+                if B is not None
+                else jnp.ones((N, D), jnp.float32)
+            )
+            state["M01"].append(M01)
+            state["Y0"].append(Yj * M01)
+            state["mask"].append(M01)
+            state["E"].append(jnp.zeros((N, D), jnp.float32))
+            if liks[m] == "poisson":
+                # Seeger bound precision κ_d = ¼ + 0.17 max_n y_nd
+                ymax = np.nanmax(np.nan_to_num(Y, nan=0.0), axis=0)
+                kappa = 0.25 + 0.17 * ymax
+                state["tau"].append(jnp.asarray(kappa, jnp.float32))
+                state["ln_tau"].append(jnp.asarray(np.log(kappa), jnp.float32))
+            else:
+                state["tau"].append(jnp.ones((D,), jnp.float32))
+                state["ln_tau"].append(jnp.zeros((D,), jnp.float32))
+            if keep_data:
+                # placeholders keep per-view lists aligned; the SVI step
+                # never updates τ for bound-based views
+                state.setdefault("tau_a", []).append(
+                    jnp.ones((D,), jnp.float32)
+                )
+                state.setdefault("tau_b", []).append(
+                    jnp.ones((D,), jnp.float32)
+                )
+        else:
+            if keep_data:  # SVI recomputes batch residuals from raw data
+                M01 = (
+                    jnp.asarray(B, jnp.float32) if B is not None else None
+                )
+                state["M01"].append(M01)
+                state["Y0"].append(Yj if M01 is None else Yj * M01)
+                # natural parameters of q(τ): blended by the SVI step
+                n_obs_d = (
+                    float(N) if M01 is None else np.asarray(M01.sum(axis=0))
+                )
+                var0 = np.nanvar(Y, axis=0)
+                var0[~np.isfinite(var0) | (var0 == 0)] = 1.0
+                ta = A0 + 0.5 * n_obs_d * np.ones(D)
+                tb = ta * var0
+                state.setdefault("tau_a", []).append(
+                    jnp.asarray(ta, jnp.float32)
+                )
+                state.setdefault("tau_b", []).append(
+                    jnp.asarray(tb, jnp.float32)
+                )
+            else:
+                state["M01"].append(None)
+                state["Y0"].append(None)
+            state["mask"].append(
+                jnp.asarray(B, jnp.float32) if B is not None else None
+            )
+            # W starts at zero → E starts as (masked) Y
+            state["E"].append(
+                Yj if B is None else Yj * jnp.asarray(B, jnp.float32)
+            )
+            var = np.nanvar(Y, axis=0)
+            var[~np.isfinite(var) | (var == 0)] = 1.0
+            state["tau"].append(jnp.asarray(1.0 / var, jnp.float32))
+            state["ln_tau"].append(jnp.asarray(-np.log(var), jnp.float32))
+        if nongauss:
+            # random W init with q(s)=1 breaks the W↔Z symmetry for
+            # bound-based views: a zero-W start lets the spike-slab collapse
+            # them on the first sweep (the Jaakkola/Seeger data term can't
+            # outweigh −½log a). Gaussian views keep the zero-W/E=Y start
+            # (stronger data term; preserves factor-ordering behavior).
+            W0 = jax.random.normal(wkeys[m], (D, K), dtype=jnp.float32)
+            state["W_hat"].append(W0)
+            state["W_var"].append(jnp.ones((D, K), jnp.float32))
+            state["S"].append(jnp.ones((D, K), jnp.float32))
+            state["SW"].append(W0)
+        else:
+            state["W_hat"].append(jnp.zeros((D, K), jnp.float32))
+            state["W_var"].append(jnp.ones((D, K), jnp.float32))
+            state["S"].append(
+                jnp.full(
+                    (D, K),
+                    0.5 if config.spikeslab_weights else 1.0,
+                    jnp.float32,
+                )
+            )
+            state["SW"].append(jnp.zeros((D, K), jnp.float32))
     return state
 
 
@@ -411,6 +847,15 @@ def fit_mofa(
     min_iterations: int = 10,
     verbose: bool = False,
     mesh=None,
+    svi_mode: bool = False,
+    svi_batch_fraction: float = 0.5,
+    svi_learning_rate: float = 1.0,
+    svi_forgetting_rate: float = 0.5,
+    svi_start_stochastic: int = 1,
+    callback=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume_from: Optional[str] = None,
 ) -> MOFAResult:
     """Train MOFA+ by VB coordinate ascent.
 
@@ -445,11 +890,34 @@ def fit_mofa(
             else:
                 masks.append(None)
 
-    masked = [m is not None for m in masks]
-    step = _make_step(config, [Y.shape[1] for Y in Ys], N, masked)
-    step_jit = jax.jit(step)
+    liks = list(config.likelihoods)
+    if len(liks) < M:
+        liks = liks + ["gaussian"] * (M - len(liks))
+    # bound-based views always run through the masked (per-entry precision)
+    # path
+    masked = [
+        m is not None or lk in ("bernoulli", "poisson")
+        for m, lk in zip(masks, liks)
+    ]
+    Ds_all = [Y.shape[1] for Y in Ys]
+    if svi_mode:
+        S = max(1, min(N, int(round(svi_batch_fraction * N))))
+        svi_step = _make_svi_step(config, Ds_all, N, S, liks)
+        step_jit = jax.jit(svi_step)
+        rng_batch = np.random.default_rng(config.seed)
+    else:
+        step = _make_step(config, Ds_all, N, masked, liks)
+        step_jit = jax.jit(step)
 
-    state = _init_state(Ys, masks, onehot, config)
+    it0 = 0
+    resumed_elbos: list = []
+    if resume_from is not None:
+        from .checkpoint import load_state
+
+        state, prev_elbos, it0 = load_state(resume_from)
+        resumed_elbos = list(np.asarray(prev_elbos))
+    else:
+        state = _init_state(Ys, masks, onehot, config, liks, keep_data=svi_mode)
     if mesh is not None:
         # multi-chip: shard the state over the ("cells","feat") mesh; the
         # jitted sweep then runs SPMD with XLA-inserted collectives
@@ -458,21 +926,45 @@ def fit_mofa(
         state = shard_mofa_state(state, mesh)
 
     threshold = CONVERGENCE_THRESHOLDS.get(convergence_mode, 5e-4)
-    elbos = []
-    first_elbo = None
+    elbos = resumed_elbos
+    first_elbo = elbos[0] if elbos else None
     converged = False
-    it = 0
+    it = it0
     while it < n_iterations:
-        state, elbo = step_jit(state)
+        if svi_mode:
+            # ρ_t = lr · (t − t₀ + 1)^(−forgetting), the Robbins-Monro step
+            # schedule mofapy2 uses for its stochastic option surface
+            t_eff = max(1, it - svi_start_stochastic + 2)
+            rho = min(1.0, svi_learning_rate * t_eff ** (-svi_forgetting_rate))
+            batch = jnp.asarray(
+                rng_batch.choice(N, size=S, replace=False), jnp.int32
+            )
+            state, elbo = step_jit(state, batch, rho)
+        else:
+            state, elbo = step_jit(state)
         it += 1
+        if callback is not None and it % elbo_every == 0:
+            callback(it, state, float(elbo))
+        if checkpoint_path and checkpoint_every and it % checkpoint_every == 0:
+            from .checkpoint import save_state
+
+            save_state(checkpoint_path, state, np.asarray(elbos), it)
         if it % elbo_every == 0 or it == 1 or it == n_iterations:
             e = float(elbo)
             elbos.append(e)
             if verbose:
                 print(f"iter {it}: ELBO {e:.4f}")
+            if svi_mode:
+                continue  # stochastic objective: no early-stop on deltas
             if first_elbo is None:
                 first_elbo = e
-            elif len(elbos) > 2 and it >= min_iterations:
+            elif (
+                len(elbos) - len(resumed_elbos) > 2
+                and it - it0 >= min_iterations
+            ):
+                # convergence judged on iterations run in THIS session — a
+                # resumed run must not stop on the tiny delta between the
+                # checkpointed tail and its own first sweep
                 delta = abs(elbos[-1] - elbos[-2])
                 if delta / max(abs(first_elbo), 1e-30) * 100 < threshold:
                     converged = True

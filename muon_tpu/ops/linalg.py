@@ -27,6 +27,35 @@ def _jax():
     return jax, jnp
 
 
+@lru_cache(maxsize=None)
+def _rsvd_coo_fn():
+    jax, jnp = _jax()
+    from .sparse import _spmm_fn, _chunk_count
+
+    @partial(jax.jit, static_argnames=("k", "l", "n_iter", "seed"))
+    def f(X, k, l, n_iter, seed):
+        spmm_ = _spmm_fn()
+        C = _chunk_count(X.data.shape[0], l)
+        mv = lambda B: spmm_(X, B, C, False)    # noqa: E731
+        rmv = lambda B: spmm_(X, B, C, True)    # noqa: E731
+        key = jax.random.PRNGKey(seed)
+        Omega = jax.random.normal(key, (X.n_cols, l), dtype=jnp.float32)
+        Q, _ = jnp.linalg.qr(mv(Omega))
+
+        def body(_, Q):
+            Z, _ = jnp.linalg.qr(rmv(Q))
+            Q, _ = jnp.linalg.qr(mv(Z))
+            return Q
+
+        Q = jax.lax.fori_loop(0, n_iter, body, Q)
+        B = rmv(Q).T  # (l, d)
+        Ub, s_, Vt = jnp.linalg.svd(B, full_matrices=False)
+        U = Q @ Ub
+        return U[:, :k], s_[:k], Vt[:k]
+
+    return f
+
+
 def randomized_svd(
     X,
     k: int,
@@ -35,20 +64,24 @@ def randomized_svd(
     seed: int = 0,
 ):
     """Truncated SVD of a DeviceCOO / dense array via randomized subspace
-    iteration. Returns (U [n,k], s [k], Vt [k,d]) in descending order."""
+    iteration. Returns (U [n,k], s [k], Vt [k,d]) in descending order.
+
+    The whole power iteration (SpMMs + QRs + final small SVD) runs as ONE
+    jit-compiled XLA program — per-op eager dispatch over a remote device
+    link would otherwise dominate the wall time."""
     jax, jnp = _jax()
     if sp.issparse(X):
         X = from_scipy(X)
 
     if isinstance(X, DeviceCOO):
         n, d = X.shape
-        mv = lambda B: spmm(X, B)       # noqa: E731  (n,k) <- (d,k)
-        rmv = lambda B: spmm_t(X, B)    # noqa: E731  (d,k) <- (n,k)
-    else:
-        X = jnp.asarray(X)
-        n, d = X.shape
-        mv = lambda B: X @ B            # noqa: E731
-        rmv = lambda B: X.T @ B         # noqa: E731
+        l = min(k + n_oversample, min(n, d))
+        return _rsvd_coo_fn()(X, int(k), int(l), int(n_iter), int(seed))
+
+    X = jnp.asarray(X)
+    n, d = X.shape
+    mv = lambda B: X @ B            # noqa: E731
+    rmv = lambda B: X.T @ B         # noqa: E731
 
     l = min(k + n_oversample, min(n, d))
     key = jax.random.PRNGKey(seed)

@@ -20,7 +20,7 @@ never retrace.
 from __future__ import annotations
 
 from functools import lru_cache, partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 from scipy import sparse as sp
@@ -71,12 +71,26 @@ def _jax():
 
 
 def from_scipy(X, pad_multiple: int = 8192, dtype=None) -> DeviceCOO:
-    """Upload a scipy sparse matrix into padded device COO."""
+    """Upload a scipy sparse matrix into padded device COO.
+
+    If the matrix carries a device-residency tag (attached by
+    ``to_scipy_data`` when a transform kept its values on device), the
+    cached DeviceCOO is returned without any host→device transfer — so
+    pipelines like tfidf → lsi never round-trip 100MB-scale index arrays
+    through the (tunneled) host link."""
     jax, jnp = _jax()
+    cached = getattr(X, "_muon_tpu_device", None)
+    if cached is not None:
+        dX, host_ref = cached
+        if (
+            host_ref is X.data
+            and dX.shape == X.shape
+            and dX.nnz == X.nnz
+        ):
+            return dX
     X = X.tocsr()
     n, d = X.shape
     nnz = X.nnz
-    coo = X.tocoo()
     pad = max(pad_multiple, ((nnz + pad_multiple - 1) // pad_multiple) * pad_multiple)
     if dtype is None:
         # keep f64 inputs exact when the backend supports it (CPU parity
@@ -85,27 +99,96 @@ def from_scipy(X, pad_multiple: int = 8192, dtype=None) -> DeviceCOO:
             dtype = np.float64
         else:
             dtype = np.float32
-    data = np.zeros(pad, dtype=dtype)
-    row = np.full(pad, n, dtype=np.int32)
-    col = np.full(pad, d, dtype=np.int32)
-    data[:nnz] = coo.data
-    row[:nnz] = coo.row
-    col[:nnz] = coo.col
-    # by-column permutation (padding sorts to the end since col == d there)
-    perm = np.argsort(col, kind="stable").astype(np.int32)
-    return DeviceCOO(
-        jnp.asarray(data), jnp.asarray(row), jnp.asarray(col), jnp.asarray(perm),
-        n, d, nnz,
+
+    # --- minimize bytes over the (tunneled) host→device link ---
+    # values: raw counts are small integers → ship uint8/uint16 and widen
+    # on device
+    dmax = X.data.max(initial=0)
+    dmin = X.data.min(initial=0)
+    integral = X.dtype.kind in "iu" or (
+        nnz > 0 and float(dmin) >= 0 and np.allclose(X.data, np.round(X.data))
     )
+    if integral and dmax < 255:
+        wire_val = np.zeros(pad, np.uint8)
+        wire_val[:nnz] = X.data
+    elif integral and dmax < 65535:
+        wire_val = np.zeros(pad, np.uint16)
+        wire_val[:nnz] = X.data
+    else:
+        wire_val = np.zeros(pad, dtype)
+        wire_val[:nnz] = X.data
+
+    # columns: int16 when the feature axis allows it
+    indices = X.indices
+    if d < np.iinfo(np.int16).max:
+        wire_col = np.full(pad, -1, np.int16)
+        wire_col[:nnz] = indices
+    else:
+        wire_col = np.full(pad, d, np.int32)
+        wire_col[:nnz] = indices
+
+    # rows: derived on device from indptr (n+1 ints instead of nnz)
+    indptr = np.asarray(X.indptr, np.int32)
+
+    data_j, row_j, col_j, perm_j = _decode_wire(
+        jnp.asarray(wire_val),
+        jnp.asarray(wire_col),
+        jnp.asarray(indptr),
+        jnp.asarray(nnz, jnp.int32),
+        n,
+        d,
+        np.dtype(dtype).name,
+        wire_col.dtype == np.int16,
+    )
+    return DeviceCOO(data_j, row_j, col_j, perm_j, n, d, nnz)
 
 
-def to_scipy_data(X_csr, new_data) -> sp.csr_matrix:
+@lru_cache(maxsize=None)
+def _decode_wire_fn():
+    jax, jnp = _jax()
+
+    @partial(jax.jit, static_argnames=("n", "d", "dtype", "col16"))
+    def f(wire_val, wire_col, indptr, nnz, n, d, dtype, col16):
+        pad = wire_val.shape[0]
+        data_j = wire_val.astype(dtype)
+        col_j = wire_col.astype(jnp.int32)
+        if col16:
+            col_j = jnp.where(col_j < 0, d, col_j)
+        # row id of entry i = #(indptr ≤ i) − 1; padding (i ≥ nnz) → n
+        pos = jnp.arange(pad, dtype=jnp.int32)
+        row_j = jnp.clip(
+            jnp.searchsorted(indptr, pos, side="right").astype(jnp.int32) - 1,
+            0,
+            n,
+        )
+        row_j = jnp.where(pos < nnz, row_j, n)
+        # by-column permutation (padding sorts last: col == d there)
+        perm_j = jnp.argsort(col_j, stable=True).astype(jnp.int32)
+        return data_j, row_j, col_j, perm_j
+
+    return f
+
+
+def _decode_wire(wire_val, wire_col, indptr, nnz, n, d, dtype, col16):
+    """One fused XLA program for the on-device COO decode (cast + row
+    derivation + column permutation) — eager per-op dispatch through a
+    remote/tunneled device link costs more than the math."""
+    return _decode_wire_fn()(wire_val, wire_col, indptr, nnz, n, d, dtype, col16)
+
+
+def to_scipy_data(X_csr, new_data, device_X: Optional[DeviceCOO] = None) -> sp.csr_matrix:
     """Rebuild a scipy CSR with the same sparsity pattern but new values.
     (Structure-preserving transforms — TF-IDF, binarize, CLR — only touch
-    the value vector.)"""
+    the value vector.)
+
+    When ``device_X`` (the source DeviceCOO) is provided and ``new_data``
+    is a device array, the result is tagged device-resident: downstream
+    ops (lsi, pca, neighbors) reuse the device buffers directly."""
     out = X_csr.copy()
     new = np.asarray(new_data)[: X_csr.nnz]
     out.data = new
+    if device_X is not None and hasattr(new_data, "devices"):
+        out._muon_tpu_device = (device_X._replace(data=new_data), out.data)
     return out
 
 

@@ -122,10 +122,16 @@ def shard_mofa_state(state: dict, mesh) -> dict:
     out["G"] = put(state["G"], cells2)
     out["E"] = [put(e, grid) for e in state["E"]]
     out["mask"] = [put(b, grid) for b in state["mask"]]
+    for key in ("M01", "Y0"):
+        if key in state:
+            out[key] = [put(b, grid) for b in state[key]]
     for k in ("W_hat", "W_var", "S", "SW"):
         out[k] = [put(w, feat2) for w in state[k]]
     out["tau"] = [put(t, feat1) for t in state["tau"]]
     out["ln_tau"] = [put(t, feat1) for t in state["ln_tau"]]
+    for key in ("tau_a", "tau_b"):
+        if key in state:
+            out[key] = [put(t, feat1) for t in state[key]]
     for k in ("alpha", "ln_alpha", "alpha_z", "theta_ln", "theta_ln1m", "theta_mean"):
         out[k] = put(state[k], rep)
     return out
