@@ -27,6 +27,25 @@ def _jax():
     return jax, jnp
 
 
+def _cholqr(Y):
+    """Cholesky-QR² orthonormalization: all FLOPs are (n,l)ᵀ(n,l) matmuls
+    and (l,l) triangular solves — MXU-friendly, unlike Householder QR whose
+    tall-skinny panel factorization serializes on TPU. The second pass
+    restores orthogonality lost to f32 normal-equation conditioning."""
+    import jax
+    import jax.numpy as jnp
+
+    def once(Y):
+        G = Y.T @ Y
+        jitter = 1e-7 * (jnp.trace(G) / Y.shape[1]) + 1e-30
+        R = jnp.linalg.cholesky(G + jitter * jnp.eye(Y.shape[1], dtype=Y.dtype))
+        return jax.scipy.linalg.solve_triangular(
+            R, Y.T, lower=True
+        ).T
+
+    return once(once(Y))
+
+
 @lru_cache(maxsize=None)
 def _rsvd_coo_fn():
     jax, jnp = _jax()
@@ -40,12 +59,11 @@ def _rsvd_coo_fn():
         rmv = lambda B: spmm_(X, B, C, True)    # noqa: E731
         key = jax.random.PRNGKey(seed)
         Omega = jax.random.normal(key, (X.n_cols, l), dtype=jnp.float32)
-        Q, _ = jnp.linalg.qr(mv(Omega))
+        Q = _cholqr(mv(Omega))
 
         def body(_, Q):
-            Z, _ = jnp.linalg.qr(rmv(Q))
-            Q, _ = jnp.linalg.qr(mv(Z))
-            return Q
+            Z = _cholqr(rmv(Q))
+            return _cholqr(mv(Z))
 
         Q = jax.lax.fori_loop(0, n_iter, body, Q)
         B = rmv(Q).T  # (l, d)

@@ -34,6 +34,7 @@ __all__ = [
     "spmm",
     "spmm_t",
     "tfidf_data",
+    "with_col_perm",
     "scale_rows_data",
     "binarize_data",
 ]
@@ -130,7 +131,7 @@ def from_scipy(X, pad_multiple: int = 8192, dtype=None) -> DeviceCOO:
     # rows: derived on device from indptr (n+1 ints instead of nnz)
     indptr = np.asarray(X.indptr, np.int32)
 
-    data_j, row_j, col_j, perm_j = _decode_wire(
+    data_j, row_j, col_j = _decode_wire(
         jnp.asarray(wire_val),
         jnp.asarray(wire_col),
         jnp.asarray(indptr),
@@ -140,7 +141,18 @@ def from_scipy(X, pad_multiple: int = 8192, dtype=None) -> DeviceCOO:
         np.dtype(dtype).name,
         wire_col.dtype == np.int16,
     )
-    return DeviceCOO(data_j, row_j, col_j, perm_j, n, d, nnz)
+    # perm_bycol stays lazy (None): a 25M-element device sort costs more
+    # than unsorted transposed segment-sums unless the matrix is reused
+    # many times — build it explicitly with with_col_perm() if needed
+    return DeviceCOO(data_j, row_j, col_j, None, n, d, nnz)
+
+
+def with_col_perm(X: DeviceCOO) -> DeviceCOO:
+    """Materialize the by-column permutation (sorted transposed products)."""
+    jax, jnp = _jax()
+    if X.perm_bycol is not None:
+        return X
+    return X._replace(perm_bycol=jnp.argsort(X.col, stable=True).astype(jnp.int32))
 
 
 @lru_cache(maxsize=None)
@@ -154,17 +166,18 @@ def _decode_wire_fn():
         col_j = wire_col.astype(jnp.int32)
         if col16:
             col_j = jnp.where(col_j < 0, d, col_j)
-        # row id of entry i = #(indptr ≤ i) − 1; padding (i ≥ nnz) → n
+        # row id of entry i: scatter +1 at each row boundary (indptr[1:n])
+        # then prefix-sum — one cumsum instead of 25M binary searches
+        # (searchsorted over the indptr measured ~6× slower on TPU)
         pos = jnp.arange(pad, dtype=jnp.int32)
-        row_j = jnp.clip(
-            jnp.searchsorted(indptr, pos, side="right").astype(jnp.int32) - 1,
-            0,
-            n,
+        bumps = jax.ops.segment_sum(
+            jnp.ones((n,), jnp.int32),
+            indptr[1:],  # boundaries of rows 1..n (may repeat: empty rows)
+            num_segments=pad,
         )
-        row_j = jnp.where(pos < nnz, row_j, n)
-        # by-column permutation (padding sorts last: col == d there)
-        perm_j = jnp.argsort(col_j, stable=True).astype(jnp.int32)
-        return data_j, row_j, col_j, perm_j
+        row_j = jnp.cumsum(bumps).astype(jnp.int32)
+        row_j = jnp.where(pos < nnz, jnp.minimum(row_j, n - 1), n)
+        return data_j, row_j, col_j
 
     return f
 
@@ -231,7 +244,7 @@ def col_sums(X: DeviceCOO):
     return _col_sums_fn()(X)
 
 
-def _chunk_count(nnz_pad: int, k: int, budget_bytes: int = 1 << 30) -> int:
+def _chunk_count(nnz_pad: int, k: int, budget_bytes: int = 6 << 30) -> int:
     """Number of scan chunks so the (chunk, k) gather stays under budget."""
     per_entry = 4 * max(k, 1)
     chunk = max(8192, budget_bytes // per_entry)
@@ -249,24 +262,48 @@ def _spmm_fn():
     def f(X, B, C, transpose):
         chunk = X.data.shape[0] // C
         Bp = jnp.concatenate([B, jnp.zeros((1, B.shape[1]), B.dtype)], axis=0)
+        sorted_seg = True
         if transpose:
-            perm = X.perm_bycol
-            data, seg, gat = X.data[perm], X.col[perm], X.row[perm]
+            if X.perm_bycol is not None:
+                perm = X.perm_bycol
+                data, seg, gat = X.data[perm], X.col[perm], X.row[perm]
+            else:
+                data, seg, gat = X.data, X.col, X.row
+                sorted_seg = False
             n_out = X.n_cols
         else:
             data, seg, gat = X.data, X.row, X.col
             n_out = X.n_rows
 
-        def body(acc, args):
-            d, s, g = args
-            return acc.at[s].add(d[:, None] * Bp[g]), None
+        out_dtype = jnp.promote_types(X.data.dtype, B.dtype)
+        # segment ids are sorted (row-major storage / by-column permutation):
+        # sorted segment_sum lowers much better on TPU than generic
+        # scatter-add. Chunked over nnz so the (chunk, k) gather intermediate
+        # stays within a fixed HBM budget.
+        if C == 1:
+            vals = (data[:, None] * Bp[gat]).astype(out_dtype)
+            acc = jax.ops.segment_sum(
+                vals, seg, num_segments=n_out + 1,
+                indices_are_sorted=sorted_seg,
+            )
+        else:
+            def body(acc, args):
+                d, s, g = args
+                vals = (d[:, None] * Bp[g]).astype(out_dtype)
+                return acc + jax.ops.segment_sum(
+                    vals, s, num_segments=n_out + 1,
+                    indices_are_sorted=sorted_seg,
+                ), None
 
-        acc = jnp.zeros((n_out + 1, B.shape[1]),
-                        jnp.promote_types(X.data.dtype, B.dtype))
-        acc, _ = jax.lax.scan(
-            body, acc,
-            (data.reshape(C, chunk), seg.reshape(C, chunk), gat.reshape(C, chunk)),
-        )
+            acc = jnp.zeros((n_out + 1, B.shape[1]), out_dtype)
+            acc, _ = jax.lax.scan(
+                body, acc,
+                (
+                    data.reshape(C, chunk),
+                    seg.reshape(C, chunk),
+                    gat.reshape(C, chunk),
+                ),
+            )
         return acc[:n_out]
 
     return f
