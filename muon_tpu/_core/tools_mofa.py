@@ -18,6 +18,7 @@ from typing import Any, List, Mapping, Optional, Union
 from warnings import warn
 
 import numpy as np
+import pandas as pd
 import h5py
 from scipy.sparse import issparse
 
@@ -91,10 +92,10 @@ def mofa(
     runs on the configured JAX backend (TPU when available)."""
     from ..models.mofa import MOFAConfig, fit_mofa
 
-    if smooth_covariate is not None or smooth_warping:
+    if smooth_warping:
         warn(
-            "MEFISTO smooth factors are not implemented yet in muon_tpu; "
-            "ignoring smooth_* options."
+            "MEFISTO covariate warping is not implemented yet in muon_tpu; "
+            "training smooth factors against the unwarped covariate."
         )
 
     if isinstance(data, AnnData):
@@ -248,6 +249,40 @@ def mofa(
         svi_forgetting_rate=svi_forgetting_rate,
         svi_start_stochastic=svi_start_stochastic,
     )
+    if smooth_covariate is not None:
+        # MEFISTO smooth factors: GP priors over the covariate (reference
+        # option surface muon/_core/tools.py:529-580; GP engine in
+        # muon_tpu.models.mofa)
+        if smooth_covariate in mdata.obs.columns:
+            cov = mdata.obs.loc[obs_index, smooth_covariate].to_numpy()
+        else:
+            # fall back to per-modality obs columns (any modality carrying
+            # the column; values reindexed onto the chosen obs axis)
+            cov = None
+            for ad in mdata.mod.values():
+                if smooth_covariate in ad.obs.columns:
+                    ser = ad.obs[smooth_covariate]
+                    cov = ser.reindex(pd.Index(obs_index)).to_numpy()
+                    break
+            if cov is None:
+                raise ValueError(
+                    f"smooth_covariate {smooth_covariate!r} is not a column "
+                    "in mdata.obs or any modality's .obs"
+                )
+        cov = np.asarray(cov, dtype=np.float32)
+        if np.isnan(cov).any():
+            raise ValueError(
+                "smooth_covariate contains missing values after aligning to "
+                "the chosen obs axis"
+            )
+        sk = dict(smooth_kwargs or {})
+        fit_kwargs["smooth_covariate"] = cov
+        if "n_grid" in sk:
+            fit_kwargs["smooth_n_grid"] = int(sk["n_grid"])
+        if "opt_freq" in sk:
+            fit_kwargs["smooth_opt_every"] = int(sk["opt_freq"])
+        if "start_opt" in sk:
+            fit_kwargs["smooth_start_opt"] = int(sk["start_opt"])
     if save_interrupted:
         # persist the full VB state alongside the model on Ctrl-C so a
         # partially trained model survives (reference passes the analogous

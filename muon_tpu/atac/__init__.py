@@ -7,5 +7,8 @@ from . import preproc as pp
 from . import tools as tl
 from . import plot as pl
 from . import io
+from .io import read_10x_h5, read_10x_mtx, read_snap
 
-__all__ = ["pp", "tl", "pl", "io"]
+__all__ = [
+    "pp", "tl", "pl", "io", "read_10x_h5", "read_10x_mtx", "read_snap",
+]

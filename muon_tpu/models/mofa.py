@@ -93,6 +93,7 @@ def _make_step(
     N: int,
     masked: Sequence[bool],
     liks: Optional[Sequence[str]] = None,
+    smooth: bool = False,
 ):
     """Build the jitted coordinate-ascent sweep for static shapes.
 
@@ -241,7 +242,13 @@ def _make_step(
         ]  # E[(sŵ)²]
 
         # ---------------- Z sweep ----------------
-        prior_prec = (Gh @ alpha_z) if config.ard_factors else jnp.ones((N, K), Zm.dtype)
+        if smooth:
+            # GP prior enters through gp_K in the solve; no diagonal prior
+            prior_prec = jnp.zeros((N, K), Zm.dtype)
+        elif config.ard_factors:
+            prior_prec = Gh @ alpha_z
+        else:
+            prior_prec = jnp.ones((N, K), Zm.dtype)
 
         # per-view constants
         tSWW = []
@@ -266,8 +273,26 @@ def _make_step(
                 else:
                     p = p + B @ tSWW[m][:, k]
                     b = b + Es[m] @ tsw + Zm[:, k] * (B @ tSW2[m][:, k])
-            z_new = b / p
-            v_new = 1.0 / p
+            if smooth:
+                # MEFISTO smooth factor: q(z_k) = N(Σb, Σ) with
+                # Σ = (K_k⁻¹ + diag(p))⁻¹, solved via the Woodbury form
+                # Σ = K − KS(I + SKS)⁻¹SK (S = diag √p) — Cholesky + two
+                # triangular solves, all MXU matmuls, no explicit K⁻¹
+                Kk = jax.lax.dynamic_slice_in_dim(state["gp_K"], k, 1, 0)[0]
+                sq = jnp.sqrt(p)
+                A = jnp.eye(N, dtype=Zm.dtype) + (sq[:, None] * Kk) * sq[None, :]
+                L = jnp.linalg.cholesky(A)
+                V = jax.scipy.linalg.solve_triangular(
+                    L, sq[:, None] * Kk, lower=True
+                )  # (N, N) = L⁻¹ S K
+                Kb = Kk @ b
+                z_new = Kb - V.T @ (V @ b)
+                v_new = jnp.maximum(
+                    jnp.diagonal(Kk) - (V * V).sum(axis=0), 1e-8
+                )
+            else:
+                z_new = b / p
+                v_new = 1.0 / p
             zk_old = jax.lax.dynamic_slice_in_dim(Zm, k, 1, 1)[:, 0]
             delta = zk_old - z_new
             new_Es = []
@@ -366,9 +391,12 @@ def _make_step(
                 0.5 * n_d_views[m] * (ln_tau - jnp.log(2 * jnp.pi))
                 - 0.5 * tau * ss_views[m]
             )
-        # KL(Z) with prior precision
+        # KL(Z) with prior precision (unit-prior surrogate when the GP
+        # prior is active — exact GP KL costs K extra Cholesky factorizations
+        # and only the convergence deltas matter here)
+        kl_prec = jnp.ones_like(prior_prec) if smooth else prior_prec
         elbo = elbo - 0.5 * jnp.sum(
-            prior_prec * z2 - 1.0 - jnp.log(prior_prec * Zv)
+            kl_prec * z2 - 1.0 - jnp.log(kl_prec * Zv)
         )
         # KL for W (gaussian slab part, vs N(0, 1/α))
         for m in range(M):
@@ -394,6 +422,7 @@ def _make_step(
             "mask": masks_eff,
             "M01": state["M01"],
             "Y0": state["Y0"],
+            **({"gp_K": state["gp_K"]} if smooth else {}),
             "W_hat": Whats,
             "W_var": Wvs,
             "S": Svs,
@@ -412,6 +441,63 @@ def _make_step(
         return new_state, elbo
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# MEFISTO smooth factors: GP priors on Z over a covariate
+# ---------------------------------------------------------------------------
+
+
+def _rbf_kernel(jnp, c, ell, scale, jitter=1e-4):
+    """K = s·exp(−‖cᵢ−cⱼ‖²/2ℓ²) + (1−s+jitter)·I over covariates c (N, p)."""
+    d2 = ((c[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    K = scale * jnp.exp(-0.5 * d2 / (ell**2))
+    return K + (1.0 - scale + jitter) * jnp.eye(c.shape[0], dtype=c.dtype)
+
+
+@lru_cache(maxsize=None)
+def _gp_hyper_fn():
+    """Grid-score GP hyperparameters: per factor, maximize the GP marginal
+    term −½(logdet K + μᵀK⁻¹μ + Σᵢ K⁻¹ᵢᵢ vᵢ) over (ℓ, s) — mofapy2
+    optimizes its lengthscales/scales the same way (grid + refine)."""
+    jax, jnp = _jax()
+
+    @jax.jit
+    def f(c, Zm, Zv, ells, scales):
+        def score_one(ell, scale):
+            K = _rbf_kernel(jnp, c, ell, scale)
+            L = jnp.linalg.cholesky(K)
+            logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+            sol = jax.scipy.linalg.cho_solve((L, True), Zm)  # (N, K)
+            quad = (Zm * sol).sum(axis=0)                    # (K,)
+            Linv = jax.scipy.linalg.solve_triangular(
+                L, jnp.eye(c.shape[0], dtype=c.dtype), lower=True
+            )
+            kinv_diag = (Linv * Linv).sum(axis=0)            # (N,)
+            tr = Zv.T @ kinv_diag                            # (K,)
+            return -0.5 * (logdet + quad + tr)               # (K,)
+
+        grid = jax.vmap(
+            lambda ell: jax.vmap(lambda s: score_one(ell, s))(scales)
+        )(ells)  # (n_ell, n_scale, K)
+        flat = grid.reshape(-1, grid.shape[-1])
+        best = jnp.argmax(flat, axis=0)
+        best_ell = ells[best // scales.shape[0]]
+        best_scale = scales[best % scales.shape[0]]
+        return best_ell, best_scale
+
+    return f
+
+
+@lru_cache(maxsize=None)
+def _gp_kmat_fn():
+    jax, jnp = _jax()
+
+    @jax.jit
+    def f(c, ells, scales):
+        return jax.vmap(lambda e, s: _rbf_kernel(jnp, c, e, s))(ells, scales)
+
+    return f
 
 
 def _make_svi_step(
@@ -856,6 +942,10 @@ def fit_mofa(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
     resume_from: Optional[str] = None,
+    smooth_covariate: Optional[np.ndarray] = None,
+    smooth_n_grid: int = 10,
+    smooth_opt_every: int = 25,
+    smooth_start_opt: int = 20,
 ) -> MOFAResult:
     """Train MOFA+ by VB coordinate ascent.
 
@@ -899,6 +989,13 @@ def fit_mofa(
         m is not None or lk in ("bernoulli", "poisson")
         for m, lk in zip(masks, liks)
     ]
+    smooth = smooth_covariate is not None
+    if smooth and svi_mode:
+        raise NotImplementedError(
+            "smooth factors (MEFISTO) with svi_mode are not supported yet — "
+            "use full-batch training"
+        )
+
     Ds_all = [Y.shape[1] for Y in Ys]
     if svi_mode:
         S = max(1, min(N, int(round(svi_batch_fraction * N))))
@@ -906,7 +1003,7 @@ def fit_mofa(
         step_jit = jax.jit(svi_step)
         rng_batch = np.random.default_rng(config.seed)
     else:
-        step = _make_step(config, Ds_all, N, masked, liks)
+        step = _make_step(config, Ds_all, N, masked, liks, smooth=smooth)
         step_jit = jax.jit(step)
 
     it0 = 0
@@ -918,6 +1015,27 @@ def fit_mofa(
         resumed_elbos = list(np.asarray(prev_elbos))
     else:
         state = _init_state(Ys, masks, onehot, config, liks, keep_data=svi_mode)
+
+    gp_ell = gp_scale = gp_cov = gp_ell_grid = gp_scale_grid = None
+    if smooth:
+        c = np.asarray(smooth_covariate, np.float32)
+        if c.ndim == 1:
+            c = c[:, None]
+        # normalize covariate scale so the lengthscale grid is unitless
+        span = max(float(c.max() - c.min()), 1e-9)
+        gp_cov = jnp.asarray((c - c.min()) / span)
+        gp_ell_grid = jnp.asarray(
+            np.geomspace(0.05, 1.0, smooth_n_grid).astype(np.float32)
+        )
+        gp_scale_grid = jnp.asarray(
+            np.linspace(0.05, 0.95, max(3, smooth_n_grid // 2)).astype(
+                np.float32
+            )
+        )
+        gp_ell = jnp.full((config.n_factors,), 0.2, jnp.float32)
+        gp_scale = jnp.full((config.n_factors,), 0.5, jnp.float32)
+        if "gp_K" not in state:
+            state["gp_K"] = _gp_kmat_fn()(gp_cov, gp_ell, gp_scale)
     if mesh is not None:
         # multi-chip: shard the state over the ("cells","feat") mesh; the
         # jitted sweep then runs SPMD with XLA-inserted collectives
@@ -943,6 +1061,16 @@ def fit_mofa(
         else:
             state, elbo = step_jit(state)
         it += 1
+        if (
+            smooth
+            and it >= smooth_start_opt
+            and it % smooth_opt_every == 0
+        ):
+            gp_ell, gp_scale = _gp_hyper_fn()(
+                gp_cov, state["Z_mean"], state["Z_var"],
+                gp_ell_grid, gp_scale_grid,
+            )
+            state["gp_K"] = _gp_kmat_fn()(gp_cov, gp_ell, gp_scale)
         if callback is not None and it % elbo_every == 0:
             callback(it, state, float(elbo))
         if checkpoint_path and checkpoint_every and it % checkpoint_every == 0:

@@ -134,4 +134,6 @@ def shard_mofa_state(state: dict, mesh) -> dict:
             out[key] = [put(t, feat1) for t in state[key]]
     for k in ("alpha", "ln_alpha", "alpha_z", "theta_ln", "theta_ln1m", "theta_mean"):
         out[k] = put(state[k], rep)
+    if "gp_K" in state:  # MEFISTO prior covariances: replicated (N is
+        out["gp_K"] = put(state["gp_K"], rep)  # moderate when GPs are used)
     return out
