@@ -1,0 +1,69 @@
+"""Multi-chip sharding: the full MOFA training step over the virtual
+8-device CPU mesh (SURVEY §4 'TPU addition'; driver contract
+__graft_entry__.dryrun_multichip)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestMultichip:
+    def test_sharded_step_matches_single_device(self):
+        """The GSPMD-sharded sweep computes the same ELBO trajectory as the
+        unsharded one (same program, different partitioning)."""
+        import sys, os
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+        import __graft_entry__ as g
+        from muon_tpu.parallel import make_mesh, shard_mofa_state
+
+        step, state = g._toy_problem()
+        step_jit = jax.jit(step)
+        s1, e1 = step_jit(state)
+        s1, e1b = step_jit(s1)
+
+        mesh = make_mesh(8)
+        sh_state = shard_mofa_state(g._toy_problem()[1], mesh)
+        s2, e2 = step_jit(sh_state)
+        s2, e2b = step_jit(s2)
+
+        assert abs(float(e1) - float(e2)) / abs(float(e1)) < 1e-4
+        assert abs(float(e1b) - float(e2b)) / abs(float(e1b)) < 1e-4
+        np.testing.assert_allclose(
+            np.asarray(s1["Z_mean"]), np.asarray(s2["Z_mean"]),
+            rtol=1e-3, atol=1e-4,
+        )
+
+    def test_mesh_factorization(self):
+        from muon_tpu.parallel import make_mesh, mesh_split
+
+        assert mesh_split(8) == (4, 2)
+        mesh = make_mesh(8)
+        assert dict(mesh.shape) == {"cells": 4, "feat": 2}
+
+    def test_fit_mofa_with_mesh(self):
+        """End-to-end sharded training through fit_mofa(mesh=...)."""
+        from muon_tpu.models.mofa import MOFAConfig, fit_mofa
+        from muon_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(0)
+        n, k = 96, 3
+        Z = rng.normal(size=(n, k)).astype(np.float32)
+        Y1 = (Z @ rng.normal(size=(40, k)).T + 0.1 * rng.normal(size=(n, 40))).astype(np.float32)
+        Y2 = (Z @ rng.normal(size=(32, k)).T + 0.1 * rng.normal(size=(n, 32))).astype(np.float32)
+        config = MOFAConfig(n_factors=4, seed=0, ard_factors=False)
+        res = fit_mofa([Y1, Y2], config, n_iterations=80, mesh=make_mesh(8))
+        plain = fit_mofa([Y1, Y2], config, n_iterations=80)
+        # sharded training is the same program under a different
+        # partitioning — results match up to reduction-order noise
+        np.testing.assert_allclose(res.Z, plain.Z, rtol=1e-2, atol=1e-3)
+        r2p, r2m = [], []
+        for Zx, acc in ((plain.Z, r2p), (res.Z, r2m)):
+            Zi = Zx - Zx.mean(0)
+            for j in range(k):
+                zt = Z[:, j] - Z[:, j].mean()
+                beta, *_ = np.linalg.lstsq(Zi, zt, rcond=None)
+                acc.append(1 - ((zt - Zi @ beta) ** 2).sum() / (zt**2).sum())
+        np.testing.assert_allclose(r2m, r2p, atol=0.02)
