@@ -32,6 +32,27 @@ def _block_rows(n: int, d: int, budget: int = 1 << 28) -> int:
     return int(b)
 
 
+def _topk2(jax, jnp, neg, k, chunk=2048):
+    """Exact two-stage top-k along the last axis: per-chunk top-k then
+    top-k over the candidates. `lax.top_k` over very wide rows (10⁵ lanes)
+    is a full sort on TPU; chunking makes it O(n) + O(candidates·log)."""
+    b, n = neg.shape
+    if n <= 2 * chunk:
+        return jax.lax.top_k(neg, k)
+    nb = -(-n // chunk)
+    n_pad = nb * chunk
+    negp = jnp.pad(neg, ((0, 0), (0, n_pad - n)), constant_values=-jnp.inf)
+    v = negp.reshape(b, nb, chunk)
+    kk = min(k, chunk)
+    vals, idx = jax.lax.top_k(v, kk)                     # (b, nb, kk)
+    gidx = idx + (jnp.arange(nb, dtype=idx.dtype) * chunk)[None, :, None]
+    flat_v = vals.reshape(b, nb * kk)
+    flat_i = gidx.reshape(b, nb * kk)
+    v2, sel = jax.lax.top_k(flat_v, k)                   # (b, k)
+    i2 = jnp.take_along_axis(flat_i, sel, axis=1)
+    return v2, i2
+
+
 @lru_cache(maxsize=None)
 def _knn_fn():
     jax, jnp = _jax()
@@ -71,7 +92,7 @@ def _knn_fn():
             )
             d2 = jnp.where(self_mask, -jnp.inf, d2)
             neg = -d2
-            vals, idx = jax.lax.top_k(neg, k + 1)
+            vals, idx = _topk2(jax, jnp, neg, k + 1)
             return carry, (-vals, idx)
 
         _, (dists, idx) = jax.lax.scan(body, None, jnp.arange(nb))
