@@ -442,6 +442,10 @@ def _save_model_hdf5(
         ts = f.create_group("training_stats")
         ts.create_dataset("elbo", data=res.elbo_history)
         ts.create_dataset("number_factors", data=np.asarray([n_factors]))
+        if res.gp_lengthscales is not None:
+            sm = f.create_group("smooth")
+            sm.create_dataset("lengthscales", data=res.gp_lengthscales)
+            sm.create_dataset("scales", data=res.gp_scales)
         if Ys is not None:
             dg = f.create_group("data")
             for m_i, m in enumerate(views):

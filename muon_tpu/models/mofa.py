@@ -80,6 +80,8 @@ class MOFAResult:
     converged: bool
     r2_per_factor: dict = field(default_factory=dict)  # {group: (M, K)}
     r2_total: dict = field(default_factory=dict)
+    gp_lengthscales: "Optional[np.ndarray]" = None  # (K,) MEFISTO ℓ per factor
+    gp_scales: "Optional[np.ndarray]" = None        # (K,) MEFISTO smoothness
 
 
 def _digamma(x):
@@ -1132,6 +1134,10 @@ def fit_mofa(
         elbo_history=np.asarray(elbos),
         n_iterations=it,
         converged=converged,
+        gp_lengthscales=(
+            np.asarray(gp_ell)[order] if smooth else None
+        ),
+        gp_scales=(np.asarray(gp_scale)[order] if smooth else None),
     )
 
     # variance explained per factor (MOFA convention: 1 − SS_res(k)/SS_tot,

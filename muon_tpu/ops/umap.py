@@ -71,14 +71,16 @@ def spectral_init(graph: sp.csr_matrix, n_components: int, seed: int = 0):
 def _optimize_fn():
     jax, jnp = _jax()
 
-    @partial(jax.jit, static_argnames=("n_epochs", "neg_rate", "move_other"))
-    def f(emb, heads, tails, epochs_per_sample, n_epochs, a, b, gamma,
-          init_alpha, neg_rate, key, move_other):
+    @partial(jax.jit, static_argnames=("n_run", "n_epochs", "neg_rate",
+                                       "move_other"))
+    def f(emb, eons, eonns, heads, tails, epochs_per_sample, epoch0, n_run,
+          n_epochs, a, b, gamma, init_alpha, neg_rate, key, move_other):
         n_edges = heads.shape[0]
         n = emb.shape[0]
 
-        def epoch_body(epoch, carry):
+        def epoch_body(i, carry):
             emb, eons, eonns, key = carry
+            epoch = epoch0 + i
             alpha = init_alpha * (1.0 - epoch / n_epochs)
             due = eons <= (epoch + 1.0)
 
@@ -126,12 +128,9 @@ def _optimize_fn():
                               eonns)
             return (emb, eons, eonns, key)
 
-        eons = epochs_per_sample.copy()
-        eonns = epochs_per_sample / neg_rate
-        emb, *_ = jax.lax.fori_loop(
-            0, n_epochs, epoch_body, (emb, eons, eonns, key)
+        return jax.lax.fori_loop(
+            0, n_run, epoch_body, (emb, eons, eonns, key)
         )
-        return emb
 
     return f
 
@@ -178,18 +177,19 @@ def umap_embed(
                             seed=random_state if isinstance(random_state, int) else 0)
 
     key = jax.random.PRNGKey(random_state if isinstance(random_state, int) else 0)
-    out = _optimize_fn()(
-        jnp.asarray(emb),
-        jnp.asarray(heads),
-        jnp.asarray(tails),
-        jnp.asarray(epochs_per_sample),
-        int(n_epochs),
-        float(a),
-        float(b),
-        float(gamma),
-        float(alpha),
-        int(negative_sample_rate),
-        key,
-        True,
-    )
-    return np.asarray(out)
+    f = _optimize_fn()
+    eps = jnp.asarray(epochs_per_sample)
+    state = (jnp.asarray(emb), eps, eps / negative_sample_rate, key)
+    heads_j, tails_j = jnp.asarray(heads), jnp.asarray(tails)
+    # epochs run in chunks: one multi-minute XLA program can trip the TPU
+    # worker watchdog at 10⁵-cell scale, and chunking costs nothing
+    chunk = 25
+    for e0 in range(0, int(n_epochs), chunk):
+        n_run = min(chunk, int(n_epochs) - e0)
+        state = f(
+            state[0], state[1], state[2], heads_j, tails_j, eps,
+            float(e0), int(n_run), int(n_epochs), float(a), float(b),
+            float(gamma), float(alpha), int(negative_sample_rate),
+            state[3], True,
+        )
+    return np.asarray(state[0])
