@@ -305,6 +305,8 @@ def neighbors(
     eps: float = 1e-4,
     copy: bool = False,
     random_state: Optional[int] = 42,
+    use_rep: Optional[str] = None,
+    n_pcs: Optional[int] = None,
 ) -> Optional[MuData]:
     """Weighted-nearest-neighbors multimodal fusion (Hao et al. 2020;
     Swanson et al. 2020). TPU-native: exact batched kNN + kernel fusion on
@@ -326,4 +328,6 @@ def neighbors(
         eps=eps,
         copy=copy,
         random_state=random_state,
+        use_rep=use_rep,
+        n_pcs=n_pcs,
     )

@@ -355,13 +355,17 @@ def wnn_neighbors(
     eps: float = 1e-4,
     copy: bool = False,
     random_state=42,
+    use_rep=None,
+    n_pcs=None,
 ):
     jax, jnp = _jax()
     from .._core.anndata import AnnData
 
     if isinstance(mdata, AnnData):
+        # single-modality convenience (scanpy sc.pp.neighbors surface)
         return single_neighbors(
             mdata, n_neighbors=n_neighbors or 15, metric=metric,
+            use_rep=use_rep, n_pcs=n_pcs,
             key_added=key_added, random_state=random_state or 0,
         )
 
