@@ -417,10 +417,13 @@ def wnn_neighbors(
         loc2glob[m[m > 0] - 1] = np.flatnonzero(m > 0)
         l2g[mod] = loc2glob
 
+    from ..utils.profiling import stage
+
     # -- bandwidths σ and affinity ratios θ -----------------------------------
     NIs, nnds, sigmas = {}, {}, {}
     ratios = np.full((n_global, n_mods), -np.inf, dtype=np.float64)
     for i1, mod1 in enumerate(modalities):
+      with stage(f"wnn/bandwidth+theta[{mod1}]"):
         dmat = mdata.mod[mod1].obsp[neighbors_params[mod1]["distances_key"]].tocsr()
         NI, nnd = _neighbor_index_matrix(dmat)
         NIs[mod1], nnds[mod1] = NI, nnd
@@ -489,6 +492,7 @@ def wnn_neighbors(
     m_per = n_multineighbors
     cand_all = np.full((n_global, n_mods * m_per), -1, dtype=np.int64)
     for i, mod in enumerate(modalities):
+      with stage(f"wnn/candidates[{mod}]"):
         rep = reps[mod]
         cmetric = neighbors_params[mod]["params"].get("metric", "euclidean")
         k_cand = min(m_per, rep.shape[0] - 1)
@@ -514,6 +518,7 @@ def wnn_neighbors(
     scores_j = jnp.asarray(scores)
     cand_j = jnp.asarray(cand.astype(np.int32))
     for i, mod in enumerate(modalities):
+      with stage(f"wnn/fusion[{mod}]"):
         rep = reps[mod]
         cand_local = g2l[mod][np.where(cand >= 0, cand, 0)]
         cand_local = np.where(cand >= 0, cand_local, -1).astype(np.int32)
@@ -531,6 +536,8 @@ def wnn_neighbors(
         )
 
     # -- final kNN + connectivities ----------------------------------------------
+    stage_final = stage("wnn/finalize")
+    stage_final.__enter__()
     kfin = min(n_neighbors + 1, cand.shape[1])
     idx_f, dist_f = _final_topk_fn()(scores_j, cand_j, kfin)
     idx_f = np.asarray(idx_f)
@@ -577,4 +584,5 @@ def wnn_neighbors(
         },
     }
     mdata.update_obs()
+    stage_final.__exit__(None, None, None)
     return mdata if copy else None
