@@ -57,9 +57,13 @@ def _topk2(jax, jnp, neg, k, chunk=2048):
 def _knn_fn():
     jax, jnp = _jax()
 
-    @partial(jax.jit, static_argnames=("k", "metric", "block"))
-    def f(X, k, metric, block):
+    @partial(jax.jit, static_argnames=("k", "metric", "block", "approx"))
+    def f(X, k, metric, block, approx=False):
         n, d = X.shape
+        # approx: bf16 matmuls for the cross-term (4x MXU rate); norms stay
+        # f32. Rank perturbations only near ties — used for the WNN
+        # candidate pool, which is 10x oversampled vs the final k.
+        mm_dtype = jnp.bfloat16 if approx else X.dtype
         nb = -(-n // block)
         n_pad = nb * block
         Xq = jnp.pad(X, ((0, n_pad - n), (0, 0)))
@@ -70,16 +74,21 @@ def _knn_fn():
             Zn = Z / jnp.where(norms == 0, 1.0, norms)
             Zq = jnp.pad(Zn, ((0, n_pad - n), (0, 0)))
 
+            Znm = Zn.astype(mm_dtype)
+
             def dist_block(i):
                 q = jax.lax.dynamic_slice(Zq, (i * block, 0), (block, d))
-                return 1.0 - q @ Zn.T
+                return 1.0 - (q.astype(mm_dtype) @ Znm.T).astype(jnp.float32)
         else:  # euclidean / sqeuclidean
             sq = jnp.sum(X * X, axis=1)
+
+            Xm = X.astype(mm_dtype)
 
             def dist_block(i):
                 q = jax.lax.dynamic_slice(Xq, (i * block, 0), (block, d))
                 qsq = jnp.sum(q * q, axis=1)
-                d2 = qsq[:, None] + sq[None, :] - 2.0 * (q @ X.T)
+                cross = (q.astype(mm_dtype) @ Xm.T).astype(jnp.float32)
+                d2 = qsq[:, None] + sq[None, :] - 2.0 * cross
                 return jnp.maximum(d2, 0.0)
 
         row_ids = jnp.arange(n_pad).reshape(nb, block)
@@ -106,7 +115,13 @@ def _knn_fn():
     return f
 
 
-def knn(X, k: int, metric: str = "euclidean", include_self: bool = True):
+def knn(
+    X,
+    k: int,
+    metric: str = "euclidean",
+    include_self: bool = True,
+    approx: bool = False,
+):
     """Exact kNN. Returns (indices (n, k+1), dists (n, k+1)) with self in
     column 0 (pynndescent convention the reference relies on,
     muon/_core/preproc.py:531)."""
@@ -126,7 +141,7 @@ def knn(X, k: int, metric: str = "euclidean", include_self: bool = True):
             "(euclidean/sqeuclidean/cosine/correlation available)"
         )
     block = _block_rows(n, d)
-    idx, dists = _knn_fn()(X, k, m, block)
+    idx, dists = _knn_fn()(X, k, m, block, approx)
     if include_self:
         return idx, dists
     return idx[:, 1:], dists[:, 1:]
