@@ -15,34 +15,34 @@ import threading
 from functools import lru_cache
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "fragments.cpp")
-_LIB = os.path.join(_HERE, "libmuon_fragments.so")
 _BUILD_LOCK = threading.Lock()
 
 
-def _ensure_built() -> str:
+def _ensure_built(name: str, libs=()) -> str:
+    src = os.path.join(_HERE, f"{name}.cpp")
+    lib = os.path.join(_HERE, f"libmuon_{name}.so")
     with _BUILD_LOCK:
         if (
-            not os.path.exists(_LIB)
-            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+            not os.path.exists(lib)
+            or os.path.getmtime(lib) < os.path.getmtime(src)
         ):
             cmd = [
                 "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                _SRC, "-o", _LIB, "-lz",
+                src, "-o", lib, *[f"-l{x}" for x in libs],
             ]
             try:
                 subprocess.run(cmd, check=True, capture_output=True, text=True)
             except (subprocess.CalledProcessError, FileNotFoundError) as e:
                 msg = getattr(e, "stderr", str(e))
                 raise RuntimeError(
-                    f"failed to build native fragments library: {msg}"
+                    f"failed to build native {name} library: {msg}"
                 ) from e
-    return _LIB
+    return lib
 
 
 @lru_cache(maxsize=1)
 def load_fragments_lib() -> ctypes.CDLL:
-    lib = ctypes.CDLL(_ensure_built())
+    lib = ctypes.CDLL(_ensure_built("fragments", libs=("z",)))
     c = ctypes
     lib.frag_open.restype = c.c_void_p
     lib.frag_open.argtypes = [c.c_char_p]
@@ -74,4 +74,30 @@ def load_fragments_lib() -> ctypes.CDLL:
     lib.frag_write_bgzf.argtypes = [c.c_char_p, c.c_char_p, c.c_long]
     lib.tabix_build.restype = c.c_int
     lib.tabix_build.argtypes = [c.c_char_p]
+    return lib
+
+
+@lru_cache(maxsize=1)
+def load_leiden_lib() -> ctypes.CDLL:
+    """Native multiplex Leiden local-moving engine (leiden.cpp) — the
+    counterpart of the reference's leidenalg C++ dependency."""
+    lib = ctypes.CDLL(_ensure_built("leiden"))
+    c = ctypes
+    lib.multiplex_local_move.restype = c.c_int
+    lib.multiplex_local_move.argtypes = [
+        c.c_int64,                     # n
+        c.c_int32,                     # n_layers
+        c.POINTER(c.c_int64),          # indptr_all
+        c.POINTER(c.c_int32),          # indices_all
+        c.POINTER(c.c_double),         # data_all
+        c.POINTER(c.c_int64),          # payload_off
+        c.POINTER(c.c_double),         # deg_all
+        c.POINTER(c.c_double),         # two_m
+        c.POINTER(c.c_double),         # gamma
+        c.POINTER(c.c_double),         # layer_w
+        c.POINTER(c.c_int64),          # labels (in/out)
+        c.POINTER(c.c_int64),          # restrict or NULL
+        c.c_int32,                     # max_passes
+        c.c_uint64,                    # seed
+    ]
     return lib

@@ -1,0 +1,135 @@
+// Multiplex Leiden/Louvain local-moving engine.
+//
+// The reference delegates community detection to leidenalg (C++ via
+// igraph, muon/_core/tools.py:1034-1038). This is the native equivalent
+// for muon-tpu: sequential local moving over multiple graph layers with a
+// shared partition (RB-configuration quality, per-layer resolution and
+// weight), plus the restricted variant used for Leiden refinement.
+// The Python driver (muon_tpu/ops/leiden.py) keeps the level loop and the
+// scipy-based aggregation; this file owns the per-node hot loop.
+//
+// Layers arrive flattened: indptr_all is L stacked (n+1)-vectors,
+// indices/data are stacked CSR payloads with per-layer offsets.
+
+#include <cstdint>
+#include <cstring>
+#include <random>
+#include <vector>
+
+extern "C" {
+
+// Returns 1 if any node moved, 0 otherwise. labels is updated in place.
+int multiplex_local_move(
+    int64_t n,
+    int32_t n_layers,
+    const int64_t* indptr_all,    // (L*(n+1),)
+    const int32_t* indices_all,   // concatenated
+    const double* data_all,       // concatenated
+    const int64_t* payload_off,   // (L,) offsets into indices/data
+    const double* deg_all,        // (L*n,)
+    const double* two_m,          // (L,)
+    const double* gamma,          // (L,)
+    const double* layer_w,        // (L,)
+    int64_t* labels,              // (n,) in/out
+    const int64_t* restrict_grp,  // (n,) or nullptr
+    int32_t max_passes,
+    uint64_t seed) {
+  const int L = n_layers;
+
+  // community degree totals per layer (community ids < n+1)
+  std::vector<double> tots((size_t)L * (n + 1), 0.0);
+  for (int l = 0; l < L; l++) {
+    const double* deg = deg_all + (size_t)l * n;
+    double* t = tots.data() + (size_t)l * (n + 1);
+    for (int64_t i = 0; i < n; i++) t[labels[i]] += deg[i];
+  }
+
+  // scratch: per-community accumulated edge weight per layer, with a
+  // touched-list so clearing is O(#neighbors)
+  std::vector<double> comm_w((size_t)(n + 1) * L, 0.0);
+  std::vector<uint8_t> seen(n + 1, 0);
+  std::vector<int64_t> touched;
+  touched.reserve(1024);
+
+  std::vector<int64_t> order(n);
+  for (int64_t i = 0; i < n; i++) order[i] = i;
+  std::mt19937_64 rng(seed);
+
+  int improved_any = 0;
+  for (int pass = 0; pass < max_passes; pass++) {
+    // Fisher-Yates shuffle
+    for (int64_t i = n - 1; i > 0; i--) {
+      int64_t j = (int64_t)(rng() % (uint64_t)(i + 1));
+      std::swap(order[i], order[j]);
+    }
+    int64_t moved = 0;
+    for (int64_t oi = 0; oi < n; oi++) {
+      const int64_t i = order[oi];
+      const int64_t ci = labels[i];
+
+      // accumulate k_{i->comm} per layer
+      touched.clear();
+      for (int l = 0; l < L; l++) {
+        const int64_t* indptr = indptr_all + (size_t)l * (n + 1);
+        const int32_t* idx = indices_all + payload_off[l];
+        const double* dat = data_all + payload_off[l];
+        for (int64_t p = indptr[i]; p < indptr[i + 1]; p++) {
+          const int64_t j = idx[p];
+          if (restrict_grp && restrict_grp[j] != restrict_grp[i]) continue;
+          const int64_t c = labels[j];
+          if (!seen[c]) {
+            seen[c] = 1;
+            touched.push_back(c);
+            for (int ll = 0; ll < L; ll++) comm_w[(size_t)c * L + ll] = 0.0;
+          }
+          comm_w[(size_t)c * L + l] += dat[p];
+        }
+      }
+
+      // gain of moving i: ci -> d
+      double base[16];  // L capped in the Python wrapper
+      for (int l = 0; l < L; l++)
+        base[l] = seen[ci] ? comm_w[(size_t)ci * L + l] : 0.0;
+
+      int64_t best_comm = ci;
+      double best_gain = 0.0;
+      for (int64_t t_i = 0; t_i < (int64_t)touched.size(); t_i++) {
+        const int64_t d = touched[t_i];
+        if (d == ci) continue;
+        double gain = 0.0;
+        for (int l = 0; l < L; l++) {
+          const double ki = deg_all[(size_t)l * n + i];
+          const double* t = tots.data() + (size_t)l * (n + 1);
+          const double tot_d = t[d];
+          const double tot_c = t[ci] - ki;
+          gain += layer_w[l] * ((comm_w[(size_t)d * L + l] - base[l]) -
+                                gamma[l] * ki * (tot_d - tot_c) / two_m[l]);
+        }
+        if (gain > best_gain + 1e-12) {
+          best_gain = gain;
+          best_comm = d;
+        }
+      }
+
+      if (best_comm != ci) {
+        for (int l = 0; l < L; l++) {
+          const double ki = deg_all[(size_t)l * n + i];
+          double* t = tots.data() + (size_t)l * (n + 1);
+          t[ci] -= ki;
+          t[best_comm] += ki;
+        }
+        labels[i] = best_comm;
+        moved++;
+        improved_any = 1;
+      }
+
+      // clear scratch
+      for (int64_t t_i = 0; t_i < (int64_t)touched.size(); t_i++)
+        seen[touched[t_i]] = 0;
+    }
+    if (moved == 0) break;
+  }
+  return improved_any;
+}
+
+}  // extern "C"

@@ -36,7 +36,59 @@ class _Layer:
         self.A = A
 
 
+def _local_move_native(layers, labels, rng, max_passes=20, restrict=None):
+    """Native (C++) sequential local moving — the hot loop the reference
+    runs inside leidenalg (muon/_core/tools.py:1034). Falls back to the
+    pure-Python implementation if the toolchain is unavailable."""
+    from ..native import load_leiden_lib
+    import ctypes as C
+
+    lib = load_leiden_lib()
+    n = len(labels)
+    L = len(layers)
+    if L > 16:
+        raise ValueError("at most 16 layers supported by the native engine")
+    indptr_all = np.concatenate([L_.indptr.astype(np.int64) for L_ in layers])
+    indices_all = np.concatenate(
+        [L_.indices.astype(np.int32) for L_ in layers]
+    )
+    data_all = np.concatenate([L_.data.astype(np.float64) for L_ in layers])
+    sizes = np.asarray([len(L_.indices) for L_ in layers], np.int64)
+    payload_off = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+    deg_all = np.concatenate([L_.deg.astype(np.float64) for L_ in layers])
+    two_m = np.asarray([L_.two_m for L_ in layers], np.float64)
+    gamma = np.asarray([L_.gamma for L_ in layers], np.float64)
+    lw = np.asarray([L_.w for L_ in layers], np.float64)
+    labels64 = np.ascontiguousarray(labels, dtype=np.int64)
+    if restrict is not None:
+        restrict64 = np.ascontiguousarray(restrict, dtype=np.int64)
+        rptr = restrict64.ctypes.data_as(C.POINTER(C.c_int64))
+    else:
+        rptr = C.POINTER(C.c_int64)()
+
+    p = lambda a, t: a.ctypes.data_as(C.POINTER(t))  # noqa: E731
+    improved = lib.multiplex_local_move(
+        n, L,
+        p(indptr_all, C.c_int64), p(indices_all, C.c_int32),
+        p(data_all, C.c_double), p(payload_off, C.c_int64),
+        p(deg_all, C.c_double), p(two_m, C.c_double),
+        p(gamma, C.c_double), p(lw, C.c_double),
+        p(labels64, C.c_int64), rptr,
+        int(max_passes), int(rng.integers(0, 2**63 - 1)),
+    )
+    labels[:] = labels64
+    return bool(improved)
+
+
 def _local_move(layers, labels, rng, max_passes=20, restrict=None):
+    """Local moving; native C++ engine with pure-Python fallback."""
+    try:
+        return _local_move_native(layers, labels, rng, max_passes, restrict)
+    except (RuntimeError, OSError):
+        return _local_move_py(layers, labels, rng, max_passes, restrict)
+
+
+def _local_move_py(layers, labels, rng, max_passes=20, restrict=None):
     """Sequential local moving. If `restrict` is given (array of labels),
     nodes may only join communities within the same restricted group
     (used for Leiden refinement)."""
