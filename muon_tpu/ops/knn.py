@@ -32,10 +32,13 @@ def _block_rows(n: int, d: int, budget: int = 1 << 28) -> int:
     return int(b)
 
 
-def _topk2(jax, jnp, neg, k, chunk=2048):
+def _topk2(jax, jnp, neg, k, chunk=2048, kk_cap=None):
     """Exact two-stage top-k along the last axis: per-chunk top-k then
     top-k over the candidates. `lax.top_k` over very wide rows (10⁵ lanes)
-    is a full sort on TPU; chunking makes it O(n) + O(candidates·log)."""
+    is a full sort on TPU; chunking makes it O(n) + O(candidates·log).
+
+    kk_cap < k makes the result approximate (misses only when > kk_cap of
+    the global top-k land in one chunk — vanishingly rare for kNN rows)."""
     b, n = neg.shape
     if n <= 2 * chunk:
         return jax.lax.top_k(neg, k)
@@ -43,7 +46,7 @@ def _topk2(jax, jnp, neg, k, chunk=2048):
     n_pad = nb * chunk
     negp = jnp.pad(neg, ((0, 0), (0, n_pad - n)), constant_values=-jnp.inf)
     v = negp.reshape(b, nb, chunk)
-    kk = min(k, chunk)
+    kk = min(k if kk_cap is None else min(k, kk_cap), chunk)
     vals, idx = jax.lax.top_k(v, kk)                     # (b, nb, kk)
     gidx = idx + (jnp.arange(nb, dtype=idx.dtype) * chunk)[None, :, None]
     flat_v = vals.reshape(b, nb * kk)
@@ -101,7 +104,9 @@ def _knn_fn():
             )
             d2 = jnp.where(self_mask, -jnp.inf, d2)
             neg = -d2
-            vals, idx = _topk2(jax, jnp, neg, k + 1)
+            vals, idx = _topk2(
+                jax, jnp, neg, k + 1, kk_cap=64 if approx else None
+            )
             return carry, (-vals, idx)
 
         _, (dists, idx) = jax.lax.scan(body, None, jnp.arange(nb))
