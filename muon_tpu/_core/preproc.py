@@ -22,6 +22,7 @@ from .mudata import MuData
 
 __all__ = [
     "l2norm",
+    "pca",
     "neighbors",
     "intersect_obs",
     "filter_obs",
@@ -331,3 +332,57 @@ def neighbors(
         use_rep=use_rep,
         n_pcs=n_pcs,
     )
+
+
+def pca(
+    data,
+    n_comps: int = 50,
+    use_highly_variable: bool = False,
+    layer=None,
+    zero_center: bool = True,
+    random_state: int = 0,
+):
+    """PCA on device (randomized SVD with implicit centering for sparse
+    input — muon_tpu.ops.linalg.pca).
+
+    The reference relies on scanpy's ``sc.pp.pca`` for the per-modality
+    representations its WNN/MOFA flows consume (SURVEY §2.5 sklearn ledger
+    row); this provides the same surface in-framework. Writes
+    ``obsm["X_pca"]``, ``varm["PCs"]``, and
+    ``uns["pca"]["variance"/"variance_ratio"]`` (scanpy layout).
+    """
+    from ..ops.linalg import pca as _pca_op
+
+    adata = data
+    if isinstance(data, MuData):
+        raise TypeError(
+            "Run pca per modality (e.g. mu.pp.pca(mdata.mod['rna']))"
+        )
+
+    X = adata.X if layer is None else adata.layers[layer]
+    mask = None
+    if use_highly_variable and "highly_variable" in adata.var.columns:
+        mask = adata.var["highly_variable"].astype(bool).to_numpy()
+        X = X[:, mask]
+
+    n_comps = min(n_comps, min(X.shape) - (1 if zero_center else 0))
+    scores, loadings, ev, evr = _pca_op(
+        X, n_comps=n_comps, center=zero_center, seed=random_state
+    )
+    adata.obsm["X_pca"] = np.asarray(scores)
+    PCs = np.zeros((adata.n_vars, n_comps))
+    if mask is not None:
+        PCs[mask] = np.asarray(loadings)
+    else:
+        PCs[:] = np.asarray(loadings)
+    adata.varm["PCs"] = PCs
+    adata.uns["pca"] = {
+        "variance": np.asarray(ev),
+        "variance_ratio": np.asarray(evr),
+        "params": {
+            "n_comps": int(n_comps),
+            "zero_center": bool(zero_center),
+            "use_highly_variable": bool(use_highly_variable),
+        },
+    }
+    return None

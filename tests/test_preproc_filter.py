@@ -213,3 +213,44 @@ class TestL2Norm:
             assert np.allclose(
                 np.linalg.norm(np.asarray(m.X), axis=1), 1.0, atol=1e-5
             )
+
+
+class TestPCA:
+    def test_pca_matches_svd(self):
+        """mu.pp.pca recovers the exact principal subspace on dense data."""
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(80, 30)).astype(np.float32)
+        X[:, :5] *= 6  # strong leading directions
+        ad = mu.AnnData(X=X.copy())
+        mu.pp.pca(ad, n_comps=5)
+        assert ad.obsm["X_pca"].shape == (80, 5)
+        assert ad.varm["PCs"].shape == (30, 5)
+        Xc = X - X.mean(axis=0)
+        U, s, Vt = np.linalg.svd(Xc, full_matrices=False)
+        ref_scores = U[:, :5] * s[:5]
+        # per-component correlation up to sign
+        for k in range(5):
+            c = np.corrcoef(ad.obsm["X_pca"][:, k], ref_scores[:, k])[0, 1]
+            assert abs(c) > 0.999, (k, c)
+        np.testing.assert_allclose(
+            ad.uns["pca"]["variance"], (s[:5] ** 2) / 79, rtol=1e-3
+        )
+
+    def test_pca_sparse_implicit_centering(self):
+        from scipy import sparse as sp
+
+        rng = np.random.default_rng(1)
+        X = rng.poisson(1.0, size=(60, 40)).astype(np.float32)
+        ad_d = mu.AnnData(X=X.copy())
+        ad_s = mu.AnnData(X=sp.csr_matrix(X))
+        mu.pp.pca(ad_d, n_comps=4)
+        mu.pp.pca(ad_s, n_comps=4)
+        for k in range(4):
+            c = np.corrcoef(
+                ad_d.obsm["X_pca"][:, k], ad_s.obsm["X_pca"][:, k]
+            )[0, 1]
+            assert abs(c) > 0.99, (k, c)
+
+    def test_pca_mudata_raises(self, mdata):
+        with pytest.raises(TypeError):
+            mu.pp.pca(mdata)
