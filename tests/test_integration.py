@@ -144,3 +144,64 @@ def test_full_multiome_pipeline(multiome_h5, tmp_path):
     np.testing.assert_allclose(
         np.asarray(back.obsm["X_mofa"]), Xm, rtol=1e-5
     )
+
+
+def test_citeseq_pipeline(tmp_path):
+    """CITE-seq flow (BASELINE config #2): CLR + DSB vs empty droplets,
+    then RNA+protein WNN fusion."""
+    rng = np.random.default_rng(11)
+    n_cells, n_empty, n_prot, n_genes = 150, 500, 25, 50
+    labels = np.repeat(np.arange(3), n_cells // 3)
+
+    ambient = rng.uniform(4, 30, n_prot)
+    prot_prog = rng.gamma(3.0, 20.0, size=(3, n_prot)) * (
+        rng.random((3, n_prot)) < 0.35
+    )
+    gene_prog = rng.gamma(2.0, 1.5, size=(3, n_genes))
+    prot_cells = rng.poisson(ambient + prot_prog[labels]).astype(np.float32)
+    prot_empty = rng.poisson(ambient, (n_empty, n_prot)).astype(np.float32)
+    rna_cells = rng.poisson(gene_prog[labels] * 2).astype(np.float32)
+
+    obs = pd.DataFrame(index=[f"C{i}" for i in range(n_cells)])
+    var_p = pd.DataFrame(index=[f"AB{i}" for i in range(n_prot)])
+    prot = mu.AnnData(X=sp.csr_matrix(prot_cells), obs=obs.copy(), var=var_p.copy())
+    raw_prot = mu.AnnData(
+        X=sp.csr_matrix(np.vstack([prot_cells, prot_empty])),
+        obs=pd.DataFrame(
+            index=[f"C{i}" for i in range(n_cells)]
+            + [f"E{i}" for i in range(n_empty)]
+        ),
+        var=var_p.copy(),
+    )
+    rna = mu.AnnData(X=rna_cells, obs=obs.copy(),
+                     var=pd.DataFrame(index=[f"G{i}" for i in range(n_genes)]))
+    mdata = mu.MuData({"rna": rna, "prot": prot})
+
+    from muon_tpu import prot as pt
+
+    # CLR into a layer, DSB into X
+    clr_out = pt.pp.clr(mdata.mod["prot"], inplace=False)
+    assert clr_out is not None
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        pt.pp.dsb(mdata.mod["prot"], raw_prot, random_state=0)
+    X = np.asarray(mdata.mod["prot"].X)
+    assert np.isfinite(X).all()
+    # DSB zero-centers the ambient background
+    bg_entries = prot_prog[labels] == 0
+    assert abs(np.median(X[bg_entries])) < 1.0
+
+    # RNA PCA + WNN
+    mdata.mod["rna"].X = np.log1p(mdata.mod["rna"].X)
+    mu.pp.pca(mdata.mod["rna"], n_comps=10)
+    mu.pp.pca(mdata.mod["prot"], n_comps=10)
+    single_neighbors(mdata.mod["rna"], n_neighbors=15, use_rep="X_pca")
+    single_neighbors(mdata.mod["prot"], n_neighbors=15, use_rep="X_pca")
+    mu.pp.neighbors(mdata)
+    mu.tl.leiden(mdata, resolution=2.0)
+    from sklearn.metrics import adjusted_rand_score
+
+    ari = adjusted_rand_score(labels, mdata.obs["leiden"].to_numpy())
+    assert ari > 0.85, f"CITE-seq fused ARI {ari}"
