@@ -104,6 +104,34 @@ class TabixFragments:
             raise IOError(f"fetch failed on {self.path}")
         return self._results(int(n), names=names)
 
+    def fetch_many(self, chroms, starts, ends, names: bool = False):
+        """Batched region fetch: all queries execute inside one native
+        call (the reference's per-feature fetch loop is its hot I/O path,
+        muon/_atac/tools.py:859-878). Returns the usual arrays plus
+        ``region_offsets`` (n_regions+1) delimiting each query's records.
+        Unknown contigs yield empty slices."""
+        tid_of = {c: i for i, c in enumerate(self.contigs)}
+        tids = np.asarray(
+            [tid_of.get(str(c), -1) for c in chroms], np.int32
+        )
+        begs = np.asarray(starts, np.int64)
+        fins = np.asarray(ends, np.int64)
+        nreg = len(tids)
+        offs = np.zeros(nreg + 1, np.int64)
+        n = self._lib.frag_fetch_many(
+            self._f,
+            tids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            begs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            fins.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            nreg,
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if n < 0:
+            raise IOError(f"fetch_many failed on {self.path}")
+        out = self._results(int(n), names=names)
+        out["region_offsets"] = offs
+        return out
+
     def stream(self, n_max: int, names: bool = False):
         """Read the first n_max records of the file (across contigs)."""
         n = self._lib.frag_stream(self._f, int(n_max))

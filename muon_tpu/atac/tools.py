@@ -486,44 +486,41 @@ def count_fragments_features(
     n = adata.n_obs
     n_features = features.shape[0]
 
-    rows, cols, vals = [], [], []
     with _open_fragments(adata) as frags:
-        starts = features[start_col].to_numpy()
-        ends = features[end_col].to_numpy()
+        starts = features[start_col].to_numpy().astype(np.int64)
+        ends = features[end_col].to_numpy().astype(np.int64)
         chroms = features[chr_col].astype(str).to_numpy()
         if stranded:
             minus = (features[strand_col].astype(str) == "-").to_numpy()
-        for i in range(n_features):
-            if stranded and minus[i]:
-                f_from = starts[i] - extend_downstream
-                f_to = ends[i] + extend_upstream
-            else:
-                f_from = starts[i] - extend_upstream
-                f_to = ends[i] + extend_downstream
-            res = frags.fetch(chroms[i], int(f_from), int(f_to))
-            cells = res["cells"]
-            keep = cells >= 0
-            if not keep.any():
-                continue
-            rows.append(np.full(int(keep.sum()), i, np.int32))
-            cols.append(cells[keep])
-            vals.append(
-                res["scores"][keep]
-                if count_reads
-                else np.ones(int(keep.sum()), np.int32)
+            f_from = np.where(
+                minus, starts - extend_downstream, starts - extend_upstream
             )
+            f_to = np.where(
+                minus, ends + extend_upstream, ends + extend_downstream
+            )
+        else:
+            f_from = starts - extend_upstream
+            f_to = ends + extend_downstream
+        # one native call for all features (the reference's per-feature
+        # fetch loop is its hot I/O path, muon/_atac/tools.py:859-878)
+        res = frags.fetch_many(chroms, f_from, f_to)
 
-    if rows:
-        mx = sp.coo_matrix(
-            (
-                np.concatenate(vals),
-                (np.concatenate(rows), np.concatenate(cols)),
-            ),
-            shape=(n_features, n),
-            dtype=np.int64,
-        ).tocsr()
-    else:
-        mx = sp.csr_matrix((n_features, n), dtype=np.int64)
+    offs = res["region_offsets"]
+    rows = np.repeat(
+        np.arange(n_features, dtype=np.int64), np.diff(offs)
+    )
+    cells = res["cells"]
+    keep = cells >= 0
+    vals = (
+        res["scores"][keep]
+        if count_reads
+        else np.ones(int(keep.sum()), np.int64)
+    )
+    mx = sp.coo_matrix(
+        (vals, (rows[keep], cells[keep])),
+        shape=(n_features, n),
+        dtype=np.int64,
+    ).tocsr()
 
     return AnnData(X=mx.transpose().tocsr(), obs=adata.obs.copy(), var=features)
 
@@ -580,34 +577,25 @@ def _tss_pileup(
     n = adata.n_obs
     n_pos = extend_downstream + extend_upstream + 1
 
-    all_cells, all_starts, all_ends, all_scores = [], [], [], []
     with _open_fragments(adata, barcodes=barcodes) as frags:
         chromosomes = set(frags.contigs)
         features = features[features["Chromosome"].isin(chromosomes)]
         f_chr = features["Chromosome"].astype(str).to_numpy()
-        f_start = features["Start"].to_numpy()
-        for i in range(features.shape[0]):
-            tss_start = int(f_start[i]) - extend_upstream
-            res = frags.fetch(
-                f_chr[i],
-                int(f_start[i]) - extend_upstream,
-                int(f_start[i]) + extend_downstream,
-            )
-            if len(res["starts"]) == 0:
-                continue
-            all_cells.append(res["cells"])
-            all_starts.append(res["starts"] - tss_start)
-            all_ends.append(res["ends"] - tss_start)
-            all_scores.append(res["scores"])
+        f_start = features["Start"].to_numpy().astype(np.int64)
+        res = frags.fetch_many(
+            f_chr, f_start - extend_upstream, f_start + extend_downstream
+        )
 
     from ..ops.pileup import interval_pileup
 
-    if all_cells:
+    if len(res["starts"]):
+        offs = res["region_offsets"]
+        tss_start = np.repeat(f_start - extend_upstream, np.diff(offs))
         mx = interval_pileup(
-            np.concatenate(all_cells),
-            np.concatenate(all_starts),
-            np.concatenate(all_ends),
-            np.concatenate(all_scores),
+            res["cells"],
+            res["starts"] - tss_start,
+            res["ends"] - tss_start,
+            res["scores"],
             n_cells=n,
             n_pos=n_pos,
         )

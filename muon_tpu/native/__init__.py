@@ -56,6 +56,15 @@ def load_fragments_lib() -> ctypes.CDLL:
     lib.frag_fetch.argtypes = [c.c_void_p, c.c_char_p, c.c_long, c.c_long]
     lib.frag_stream.restype = c.c_long
     lib.frag_stream.argtypes = [c.c_void_p, c.c_long]
+    lib.frag_fetch_many.restype = c.c_long
+    lib.frag_fetch_many.argtypes = [
+        c.c_void_p,
+        c.POINTER(c.c_int32),   # tids
+        c.POINTER(c.c_int64),   # begs
+        c.POINTER(c.c_int64),   # ends
+        c.c_long,               # n_regions
+        c.POINTER(c.c_int64),   # region_offsets out (n_regions+1)
+    ]
     for name, ty in [
         ("frag_starts", c.POINTER(c.c_int64)),
         ("frag_ends", c.POINTER(c.c_int64)),

@@ -432,6 +432,45 @@ done:
   return (long)f->starts.size();
 }
 
+// Batched region fetch: query n_regions at once (contig given by index
+// into the .tbi contig table; see frag_contig_name). Results concatenate
+// into the usual buffers; region_offsets (n_regions+1) marks boundaries.
+// Returns total record count, or -1 on error.
+long frag_fetch_many(FragFile* f, const int32_t* tids, const int64_t* begs,
+                     const int64_t* ends, long n_regions,
+                     int64_t* region_offsets) {
+  // accumulate across per-region fetches without clearing
+  std::vector<int64_t> starts, rends;
+  std::vector<int32_t> cells, scores;
+  std::string name_buf;
+  std::vector<int32_t> name_offsets;
+  name_offsets.push_back(0);
+
+  for (long r = 0; r < n_regions; r++) {
+    region_offsets[r] = (int64_t)starts.size();
+    if (tids[r] < 0 || tids[r] >= (int32_t)f->idx.names.size()) continue;
+    const char* chrom = f->idx.names[tids[r]].c_str();
+    if (frag_fetch(f, chrom, (long)begs[r], (long)ends[r]) < 0) return -1;
+    starts.insert(starts.end(), f->starts.begin(), f->starts.end());
+    rends.insert(rends.end(), f->ends.begin(), f->ends.end());
+    cells.insert(cells.end(), f->cells.begin(), f->cells.end());
+    scores.insert(scores.end(), f->scores.begin(), f->scores.end());
+    const int32_t base = (int32_t)name_buf.size();
+    name_buf += f->name_buf;
+    for (size_t i = 1; i < f->name_offsets.size(); i++)
+      name_offsets.push_back(base + f->name_offsets[i]);
+  }
+  region_offsets[n_regions] = (int64_t)starts.size();
+
+  f->starts.swap(starts);
+  f->ends.swap(rends);
+  f->cells.swap(cells);
+  f->scores.swap(scores);
+  f->name_buf.swap(name_buf);
+  f->name_offsets.swap(name_offsets);
+  return (long)f->starts.size();
+}
+
 // Stream up to n_max records from the start of the file (all contigs).
 long frag_stream(FragFile* f, long n_max) {
   f->clear_results();
