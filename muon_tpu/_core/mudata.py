@@ -11,12 +11,10 @@ muon/_core/utils.py:117).
 
 from __future__ import annotations
 
-import warnings
 from collections import OrderedDict
 
 import numpy as np
 import pandas as pd
-from scipy import sparse as sp
 
 from .aligned import AlignedDict
 from .anndata import AnnData, FileManager, _normalize_index, concat_names

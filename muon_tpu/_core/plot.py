@@ -10,7 +10,6 @@ consumers expect.
 from __future__ import annotations
 
 import os
-import warnings
 from typing import Iterable, List, Optional, Sequence, Union
 
 import numpy as np

@@ -17,7 +17,7 @@ import numpy as np
 import pandas as pd
 from scipy import sparse as sp
 
-from .anndata import AnnData, _normalize_index
+from .anndata import AnnData
 from .mudata import MuData
 
 __all__ = [

@@ -6,7 +6,7 @@ TPU-first reimplementation of reference muon/_core/tools.py:716-1362.
 from __future__ import annotations
 
 from functools import lru_cache, partial
-from typing import Dict, Mapping, Optional, Sequence, Union
+from typing import Mapping, Optional, Sequence, Union
 
 import numpy as np
 import pandas as pd

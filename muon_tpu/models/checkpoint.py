@@ -10,7 +10,7 @@ orbax-style checkpoint of VB state + ELBO trace").
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

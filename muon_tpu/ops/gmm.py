@@ -11,7 +11,7 @@ batched (N, D) programs on the VPU with no host round-trips.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import numpy as np
 

@@ -11,8 +11,6 @@ from __future__ import annotations
 
 from functools import lru_cache, partial
 
-import numpy as np
-
 __all__ = ["knn", "pairwise_sq_dists"]
 
 
