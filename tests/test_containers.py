@@ -204,3 +204,33 @@ class TestIO:
             np.asarray(ad.X.todense()),
         )
         ad2.file.close()
+
+
+class TestUnsRoundtrip:
+    def test_uns_dataframe_roundtrip(self, tmp_path):
+        """Nested uns DataFrames (peak annotation) survive h5mu round-trips
+        — load-bearing for every ATAC workflow that saves results."""
+        from muon_tpu import atac as ac
+
+        adata = mu.AnnData(X=np.zeros((3, 2), np.float32))
+        pa = pd.DataFrame(
+            {
+                "peak": ["chr1_1_2", "chr1_3_4"],
+                "gene": ["", "G2"],
+                "distance": pd.array([pd.NA, 5], dtype="Int64"),
+                "peak_type": ["intergenic", "distal"],
+            }
+        )
+        ac.tl.add_peak_annotation(adata, pa)
+        md = mu.MuData({"atac": adata})
+        path = str(tmp_path / "pa.h5mu")
+        md.write_h5mu(path)
+        back = mu.read_h5mu(path)
+        pb = back.mod["atac"].uns["atac"]["peak_annotation"]
+        assert isinstance(pb, pd.DataFrame)
+        assert list(pb["peak"]) == ["chr1:1-2", "chr1:3-4"]
+        # nullable Int64 with NA preserved (reference regression class:
+        # tests/test_atac_tools.py:13-30)
+        assert str(pb["distance"].dtype) == "Int64"
+        assert pd.isna(pb["distance"].iloc[0])
+        assert pb["distance"].iloc[1] == 5
