@@ -282,6 +282,11 @@ def clr(
                 )
             )
             x.data[:] = new_data.astype(x.data.dtype)
+            # in-place mutation invalidates any device-residency tag
+            # (ops/sparse.from_scipy checks identity of .data, which an
+            # in-place write preserves — drop the cache explicitly)
+            if hasattr(x, "_muon_tpu_device"):
+                del x._muon_tpu_device
         else:
             import jax.numpy as jnp
 
