@@ -52,8 +52,12 @@ def stage(name: str, force: bool = False):
     finally:
         try:
             import jax
+            import jax.numpy as jnp
 
-            jax.effects_barrier()
+            # devices execute queued programs in order, so forcing a fresh
+            # scalar to host drains the queue — block_until_ready does NOT
+            # reliably block through tunneled/remote devices (CLAUDE.md)
+            float(jnp.zeros(()).sum())
         except Exception:
             pass
         dt = time.perf_counter() - t0
