@@ -62,7 +62,7 @@ class MOFAConfig:
     ard_weights: bool = True
     ard_factors: bool = True
     spikeslab_weights: bool = True
-    spikeslab_factors: bool = False  # kept for surface parity; not used
+    spikeslab_factors: bool = False  # sample-wise sparsity on Z
     n_groups: int = 1
     seed: int = 1
 
@@ -260,8 +260,14 @@ def _make_step(
             tSWW.append((tau[:, None] * SWW[m]))          # (D, K)
             tSW2.append((tau[:, None] * SWs[m] * SWs[m]))
 
+        ssz = config.spikeslab_factors and not smooth
+        if ssz:
+            # per-cell expansions of the group-level spike-slab parameters
+            thz_gap = Gh @ (state["theta_z_ln"] - state["theta_z_ln1m"])
+            ln_az_cell = Gh @ state["ln_alpha_z"]          # (N, K)
+
         def z_body(k, carry):
-            Zm, Zv, Es = carry
+            Zm, Zv, Zhat, Zvhat, ZS, Es = carry
             p = jax.lax.dynamic_slice_in_dim(prior_prec, k, 1, 1)[:, 0]
             b = jnp.zeros((N,), Zm.dtype)
             for m in range(M):
@@ -292,6 +298,37 @@ def _make_step(
                 v_new = jnp.maximum(
                     jnp.diagonal(Kk) - (V * V).sum(axis=0), 1e-8
                 )
+            elif ssz:
+                # spike-slab factor (z = s·ẑ, s ~ Bern(θ_z per group)):
+                # exactly the W spike-slab update transposed to cells.
+                # Z_mean/Z_var keep the E[z]/Var[z] convention so every
+                # downstream z² consumer stays valid.
+                z_hat = b / p
+                v_hat = 1.0 / p
+                lam = (
+                    thz_gap[:, k]
+                    + 0.5 * ln_az_cell[:, k]
+                    - 0.5 * jnp.log(p)
+                    + 0.5 * b * b / p
+                )
+                # delayed sparsity (mofapy2 start_sparsity): dense updates
+                # until the host loop flips ssz_on — sparsifying from the
+                # first sweep kills weak factors before they can grow
+                s_z = jnp.where(
+                    state["ssz_on"] > 0, jax.nn.sigmoid(lam), 1.0
+                )
+                z_new = s_z * z_hat
+                ez2 = s_z * (v_hat + z_hat * z_hat)
+                v_new = jnp.maximum(ez2 - z_new * z_new, 1e-12)
+                Zhat = jax.lax.dynamic_update_slice_in_dim(
+                    Zhat, z_hat[:, None], k, 1
+                )
+                Zvhat = jax.lax.dynamic_update_slice_in_dim(
+                    Zvhat, v_hat[:, None], k, 1
+                )
+                ZS = jax.lax.dynamic_update_slice_in_dim(
+                    ZS, s_z[:, None], k, 1
+                )
             else:
                 z_new = b / p
                 v_new = 1.0 / p
@@ -305,9 +342,19 @@ def _make_step(
                 new_Es.append(Es[m] + (corr * B if B is not None else corr))
             Zm = jax.lax.dynamic_update_slice_in_dim(Zm, z_new[:, None], k, 1)
             Zv = jax.lax.dynamic_update_slice_in_dim(Zv, v_new[:, None], k, 1)
-            return (Zm, Zv, tuple(new_Es))
+            return (Zm, Zv, Zhat, Zvhat, ZS, tuple(new_Es))
 
-        Zm, Zv, Es_t = jax.lax.fori_loop(0, K, z_body, (Zm, Zv, tuple(Es)))
+        if ssz:
+            Zhat0 = state["Z_hat"]
+            Zvhat0 = state["Z_vhat"]
+            ZS0 = state["Z_S"]
+        else:  # placeholders, untouched by the loop body
+            Zhat0 = Zm
+            Zvhat0 = Zv
+            ZS0 = Zm
+        Zm, Zv, Zhat, Zvhat, ZS, Es_t = jax.lax.fori_loop(
+            0, K, z_body, (Zm, Zv, Zhat0, Zvhat0, ZS0, tuple(Es))
+        )
         Es = list(Es_t)
 
         z2 = Zv + Zm * Zm
@@ -361,12 +408,31 @@ def _make_step(
             ln_alpha = jnp.stack(ln_alpha_new)
 
         # ---------------- α_z update (factor ARD per group) ----------------
+        ln_alpha_z = state.get("ln_alpha_z")
         if config.ard_factors:
             Ng = Gh.sum(axis=0)  # (G,)
-            z2_per_group = Gh.T @ z2  # (G, K)
+            if ssz:
+                # E[ẑ²] = S(v̂+ẑ²) + (1−S)/α_prev (slab-conditional moment)
+                az_cell = Gh @ alpha_z
+                zhat2 = ZS * (Zvhat + Zhat * Zhat) + (1.0 - ZS) / az_cell
+                z2_per_group = Gh.T @ zhat2
+            else:
+                z2_per_group = Gh.T @ z2  # (G, K)
             a = A0 + 0.5 * Ng[:, None]
             b = B0 + 0.5 * z2_per_group
             alpha_z = a / b
+            if ssz:
+                ln_alpha_z = _digamma(a) - jnp.log(b)
+
+        # ---------------- θ_z update (spike-slab factors, per group) -------
+        if ssz:
+            Ng_col = Gh.sum(axis=0)[:, None]  # (G, 1)
+            s_per_group = Gh.T @ ZS           # (G, K)
+            sa = THETA_A0 + s_per_group
+            sb = THETA_B0 + Ng_col - s_per_group
+            theta_z_ln = _digamma(sa) - _digamma(sa + sb)
+            theta_z_ln1m = _digamma(sb) - _digamma(sa + sb)
+            theta_z_mean = sa / (sa + sb)
 
         # ---------------- θ update ----------------
         if config.spikeslab_weights:
@@ -419,6 +485,20 @@ def _make_step(
         new_state = {
             "Z_mean": Zm,
             "Z_var": Zv,
+            **(
+                {
+                    "ssz_on": state["ssz_on"],
+                    "Z_hat": Zhat,
+                    "Z_vhat": Zvhat,
+                    "Z_S": ZS,
+                    "theta_z_ln": theta_z_ln,
+                    "theta_z_ln1m": theta_z_ln1m,
+                    "theta_z_mean": theta_z_mean,
+                    "ln_alpha_z": ln_alpha_z,
+                }
+                if ssz
+                else {}
+            ),
             "G": Gh,
             "E": Es,
             "mask": masks_eff,
@@ -830,6 +910,21 @@ def _init_state(
         "theta_ln1m": jnp.full((M, K), math.log(0.5), jnp.float32),
         "theta_mean": jnp.full((M, K), 0.5, jnp.float32),
     }
+    if config.spikeslab_factors:
+        state["ssz_on"] = jnp.zeros((), jnp.float32)
+        state["Z_hat"] = Zm
+        state["Z_vhat"] = jnp.ones((N, K), jnp.float32)
+        state["Z_S"] = jnp.ones((N, K), jnp.float32)
+        # optimistic θ_z start (mofapy2 initializes θ at 1): with θ=0.5 the
+        # double spike-slab gate (W and Z both at s≈½) stalls all but one
+        # factor in a symmetric plateau
+        th0 = 0.99
+        state["theta_z_ln"] = jnp.full((G, K), math.log(th0), jnp.float32)
+        state["theta_z_ln1m"] = jnp.full(
+            (G, K), math.log(1.0 - th0), jnp.float32
+        )
+        state["theta_z_mean"] = jnp.full((G, K), th0, jnp.float32)
+        state["ln_alpha_z"] = jnp.zeros((G, K), jnp.float32)
     for m, Y in enumerate(Ys):
         D = Y.shape[1]
         B = masks[m]
@@ -891,10 +986,21 @@ def _init_state(
             state["mask"].append(
                 jnp.asarray(B, jnp.float32) if B is not None else None
             )
-            # W starts at zero → E starts as (masked) Y
-            state["E"].append(
-                Yj if B is None else Yj * jnp.asarray(B, jnp.float32)
-            )
+            if config.spikeslab_factors:
+                # double spike-slab (W and Z) stalls from a zero-W start;
+                # break the symmetry like mofapy2's always-random W init
+                W0g = 0.1 * jax.random.normal(
+                    wkeys[m], (D, K), dtype=jnp.float32
+                )
+                E0 = Yj - Zm @ W0g.T
+                state["E"].append(
+                    E0 if B is None else E0 * jnp.asarray(B, jnp.float32)
+                )
+            else:
+                # W starts at zero → E starts as (masked) Y
+                state["E"].append(
+                    Yj if B is None else Yj * jnp.asarray(B, jnp.float32)
+                )
             var = np.nanvar(Y, axis=0)
             var[~np.isfinite(var) | (var == 0)] = 1.0
             state["tau"].append(jnp.asarray(1.0 / var, jnp.float32))
@@ -910,6 +1016,12 @@ def _init_state(
             state["W_var"].append(jnp.ones((D, K), jnp.float32))
             state["S"].append(jnp.ones((D, K), jnp.float32))
             state["SW"].append(W0)
+        elif config.spikeslab_factors:
+            W0g = 0.1 * jax.random.normal(wkeys[m], (D, K), dtype=jnp.float32)
+            state["W_hat"].append(W0g)
+            state["W_var"].append(jnp.ones((D, K), jnp.float32))
+            state["S"].append(jnp.ones((D, K), jnp.float32))
+            state["SW"].append(W0g)
         else:
             state["W_hat"].append(jnp.zeros((D, K), jnp.float32))
             state["W_var"].append(jnp.ones((D, K), jnp.float32))
@@ -997,6 +1109,11 @@ def fit_mofa(
             "smooth factors (MEFISTO) with svi_mode are not supported yet — "
             "use full-batch training"
         )
+    if config.spikeslab_factors and (smooth or svi_mode):
+        raise NotImplementedError(
+            "spikeslab_factors is only supported in full-batch training "
+            "without smooth covariates"
+        )
 
     Ds_all = [Y.shape[1] for Y in Ys]
     if svi_mode:
@@ -1051,6 +1168,8 @@ def fit_mofa(
     converged = False
     it = it0
     while it < n_iterations:
+        if config.spikeslab_factors and not svi_mode and it == 15:
+            state = {**state, "ssz_on": jnp.ones((), jnp.float32)}
         if svi_mode:
             # ρ_t = lr · (t − t₀ + 1)^(−forgetting), the Robbins-Monro step
             # schedule mofapy2 uses for its stochastic option surface

@@ -189,3 +189,87 @@ class TestMuTlMofa:
         assert X.shape == (100, 6)
         assert np.isnan(X[80:]).all()
         assert np.isfinite(X[:80]).all()
+
+
+class TestSpikeslabFactors:
+    def test_sample_sparse_recovery(self):
+        """spikeslab_factors=True recovers factors active only in a cell
+        subset, with spike probabilities separating active/inactive cells
+        (reference option surface muon/_core/tools.py:305)."""
+        from muon_tpu.models.mofa import MOFAConfig, fit_mofa
+
+        rng = np.random.default_rng(0)
+        n, k_true = 300, 3
+        Z = rng.normal(size=(n, k_true)).astype(np.float32)
+        active = np.zeros((n, k_true), bool)
+        for k in range(k_true):  # each factor active in one third of cells
+            active[k * 100:(k + 1) * 100, k] = True
+        Z = np.where(active, Z + 2.0, 0.0).astype(np.float32)
+        W1 = rng.normal(size=(60, k_true)).astype(np.float32)
+        W2 = rng.normal(size=(40, k_true)).astype(np.float32)
+        Y1 = Z @ W1.T + 0.2 * rng.normal(size=(n, 60)).astype(np.float32)
+        Y2 = Z @ W2.T + 0.2 * rng.normal(size=(n, 40)).astype(np.float32)
+
+        res = fit_mofa(
+            [Y1, Y2],
+            MOFAConfig(n_factors=5, seed=1, spikeslab_factors=True,
+                       ard_factors=True),
+            n_iterations=1000,
+            convergence_mode="fast",
+        )
+        # subspace recovery of the sparse factors
+        Zi = res.Z - res.Z.mean(0)
+        for k in range(k_true):
+            zt = Z[:, k] - Z[:, k].mean()
+            beta, *_ = np.linalg.lstsq(Zi, zt, rcond=None)
+            r2 = 1 - ((zt - Zi @ beta) ** 2).sum() / (zt**2).sum()
+            assert r2 > 0.95, (k, r2)
+        # inferred factor values are shrunk where the truth is inactive
+        for k in range(k_true):
+            # best-matching inferred factor by |corr| (pruned factors are
+            # constant-zero -> nan correlation -> treat as 0)
+            cors = np.nan_to_num(
+                [
+                    abs(np.corrcoef(res.Z[:, j], Z[:, k])[0, 1])
+                    for j in range(5)
+                ]
+            )
+            j = int(np.argmax(cors))
+            off = np.abs(res.Z[~active[:, k], j]).mean()
+            on = np.abs(res.Z[active[:, k], j]).mean()
+            assert on > 2 * off, (k, on, off)
+
+    def test_dense_factors_unaffected(self):
+        """With dense true factors, ssZ must not hurt recovery (same sim as
+        TestFitMOFA.test_factor_recovery's healthy 2-view regime)."""
+        from muon_tpu.models.mofa import MOFAConfig, fit_mofa
+
+        rng = np.random.default_rng(1)
+        Z = rng.normal(size=(200, 3)).astype(np.float32)
+        W1 = rng.normal(size=(60, 3)).astype(np.float32)
+        W2 = rng.normal(size=(40, 3)).astype(np.float32)
+        Y1 = (Z @ W1.T + 0.2 * rng.normal(size=(200, 60))).astype(np.float32)
+        Y2 = (Z @ W2.T + 0.2 * rng.normal(size=(200, 40))).astype(np.float32)
+        res = fit_mofa(
+            [Y1, Y2],
+            MOFAConfig(n_factors=5, seed=1, spikeslab_factors=True),
+            n_iterations=1000,
+            convergence_mode="fast",
+        )
+        Zi = res.Z - res.Z.mean(0)
+        for k in range(3):
+            zt = Z[:, k] - Z[:, k].mean()
+            beta, *_ = np.linalg.lstsq(Zi, zt, rcond=None)
+            r2 = 1 - ((zt - Zi @ beta) ** 2).sum() / (zt**2).sum()
+            assert r2 > 0.9, (k, r2)
+
+    def test_guards(self):
+        from muon_tpu.models.mofa import MOFAConfig, fit_mofa
+
+        Y = np.random.default_rng(0).normal(size=(40, 10)).astype(np.float32)
+        cfg = MOFAConfig(n_factors=2, spikeslab_factors=True)
+        with pytest.raises(NotImplementedError):
+            fit_mofa([Y], cfg, n_iterations=5, svi_mode=True)
+        with pytest.raises(NotImplementedError):
+            fit_mofa([Y], cfg, n_iterations=5,
+                     smooth_covariate=np.linspace(0, 1, 40))
