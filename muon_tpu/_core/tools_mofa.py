@@ -92,11 +92,6 @@ def mofa(
     runs on the configured JAX backend (TPU when available)."""
     from ..models.mofa import MOFAConfig, fit_mofa
 
-    if smooth_warping:
-        warn(
-            "MEFISTO covariate warping is not implemented yet in muon_tpu; "
-            "training smooth factors against the unwarped covariate."
-        )
 
     if isinstance(data, AnnData):
         mdata = MuData({"data": data})
@@ -283,6 +278,30 @@ def mofa(
             fit_kwargs["smooth_opt_every"] = int(sk["opt_freq"])
         if "start_opt" in sk:
             fit_kwargs["smooth_start_opt"] = int(sk["start_opt"])
+        if smooth_warping:
+            # DTW alignment of each group's covariate to the reference
+            # group (reference option surface muon/_core/tools.py:538-541)
+            if groups_label is None:
+                raise ValueError(
+                    "smooth_warping requires groups_label with >= 2 groups"
+                )
+            ref = sk.get("warping_ref", 0)
+            if not isinstance(ref, (int, np.integer)):
+                if str(ref) not in group_names:
+                    raise ValueError(
+                        f"Expected 'warping_ref' to be a group name but "
+                        f"there is no group {ref!r}"
+                    )
+                ref = group_names.index(str(ref))
+            fit_kwargs["warping"] = True
+            fit_kwargs["warping_ref"] = int(ref)
+            fit_kwargs["warping_freq"] = int(sk.get("warping_freq", 20))
+            fit_kwargs["warping_open_begin"] = bool(
+                sk.get("warping_open_begin", True)
+            )
+            fit_kwargs["warping_open_end"] = bool(
+                sk.get("warping_open_end", True)
+            )
     if save_interrupted:
         # persist the full VB state alongside the model on Ctrl-C so a
         # partially trained model survives (reference passes the analogous
@@ -327,6 +346,13 @@ def mofa(
     else:
         X_mofa = Z
     target.obsm["X_mofa"] = X_mofa
+    if res.warped_covariates is not None:
+        wc = np.full(target.n_obs, np.nan)
+        if use_obs in ("union", "intersection"):
+            wc[target.obs.index.isin(obs_index)] = res.warped_covariates
+        else:
+            wc[:] = res.warped_covariates
+        target.obs[f"{smooth_covariate}_warped"] = wc
 
     W = np.concatenate(res.W, axis=0)  # (ΣD, K)
     if use_var:
@@ -446,6 +472,10 @@ def _save_model_hdf5(
             sm = f.create_group("smooth")
             sm.create_dataset("lengthscales", data=res.gp_lengthscales)
             sm.create_dataset("scales", data=res.gp_scales)
+            if res.warped_covariates is not None:
+                sm.create_dataset(
+                    "warped_covariates", data=res.warped_covariates
+                )
         if Ys is not None:
             dg = f.create_group("data")
             for m_i, m in enumerate(views):

@@ -82,6 +82,7 @@ class MOFAResult:
     r2_total: dict = field(default_factory=dict)
     gp_lengthscales: "Optional[np.ndarray]" = None  # (K,) MEFISTO ℓ per factor
     gp_scales: "Optional[np.ndarray]" = None        # (K,) MEFISTO smoothness
+    warped_covariates: "Optional[np.ndarray]" = None  # (N,) aligned covariate
 
 
 def _digamma(x):
@@ -582,6 +583,85 @@ def _gp_kmat_fn():
     return f
 
 
+def _dtw_align(ref_t, ref_z, g_t, g_z, open_begin=True, open_end=True):
+    """Warp a group's trajectory onto the reference time base by DTW.
+
+    mofapy2's MEFISTO warping (reference option surface
+    muon/_core/tools.py:538-541: warping_freq/ref/open_begin/open_end)
+    aligns each group's factor trajectory to a reference group with
+    dynamic time warping and replaces the group's covariate with the
+    matched reference times. Inputs are per-unique-timepoint group-mean
+    factor values; alignment cost is squared Euclidean distance between
+    factor vectors. Returns the warped time for each of g's timepoints
+    (mean of matched reference times). Host-side numpy: the DP is tiny
+    (runs over unique covariate values, not cells) and inherently
+    sequential, so it stays off the device.
+    """
+    C = ((g_z[:, None, :] - ref_z[None, :, :]) ** 2).sum(-1)
+    Tg, Tr = C.shape
+    D = np.empty((Tg, Tr))
+    if open_begin:
+        D[0] = C[0]
+    else:
+        D[0] = np.cumsum(C[0])
+    for i in range(1, Tg):
+        prev = D[i - 1]
+        # min(D[i-1,j], D[i-1,j-1]) is vectorizable; D[i,j-1] is a scan
+        diag = np.concatenate(([np.inf], prev[:-1]))
+        best_up = np.minimum(prev, diag)
+        row = D[i]
+        left = np.inf
+        ci = C[i]
+        for j in range(Tr):
+            left = ci[j] + min(best_up[j], left)
+            row[j] = left
+    j = int(np.argmin(D[-1])) if open_end else Tr - 1
+    matched = [[] for _ in range(Tg)]
+    i = Tg - 1
+    while True:
+        matched[i].append(ref_t[j])
+        if i == 0 and (open_begin or j == 0):
+            break
+        cands = []
+        if i > 0:
+            cands.append((D[i - 1, j], i - 1, j))
+            if j > 0:
+                cands.append((D[i - 1, j - 1], i - 1, j - 1))
+        if j > 0:
+            cands.append((D[i, j - 1], i, j - 1))
+        _, i, j = min(cands)
+    return np.array([np.mean(m) for m in matched])
+
+
+def _warp_groups(
+    cov_norm, groups, Zm, ref, open_begin=True, open_end=True
+):
+    """Apply DTW warping to every non-reference group's covariate.
+
+    cov_norm: (N,) normalized covariate; groups: (N,) int labels;
+    Zm: (N, K) current E[z]. Returns the new (N,) covariate with each
+    non-reference group's values replaced by their DTW-matched positions
+    on the reference group's time base.
+    """
+    out = cov_norm.copy()
+    rsel = groups == ref
+    rt, rinv = np.unique(cov_norm[rsel], return_inverse=True)
+    rz = np.zeros((len(rt), Zm.shape[1]))
+    np.add.at(rz, rinv, Zm[rsel])
+    rz /= np.bincount(rinv)[:, None]
+    for g in np.unique(groups):
+        if g == ref:
+            continue
+        gsel = groups == g
+        gt, ginv = np.unique(cov_norm[gsel], return_inverse=True)
+        gz = np.zeros((len(gt), Zm.shape[1]))
+        np.add.at(gz, ginv, Zm[gsel])
+        gz /= np.bincount(ginv)[:, None]
+        warped = _dtw_align(rt, rz, gt, gz, open_begin, open_end)
+        out[gsel] = warped[ginv]
+    return out
+
+
 def _make_svi_step(
     config: MOFAConfig,
     Ds: Sequence[int],
@@ -1060,6 +1140,11 @@ def fit_mofa(
     smooth_n_grid: int = 10,
     smooth_opt_every: int = 25,
     smooth_start_opt: int = 20,
+    warping: bool = False,
+    warping_freq: int = 20,
+    warping_ref: int = 0,
+    warping_open_begin: bool = True,
+    warping_open_end: bool = True,
 ) -> MOFAResult:
     """Train MOFA+ by VB coordinate ascent.
 
@@ -1114,6 +1199,17 @@ def fit_mofa(
             "spikeslab_factors is only supported in full-batch training "
             "without smooth covariates"
         )
+    if warping:
+        if not smooth:
+            raise ValueError("warping requires smooth_covariate")
+        if G < 2:
+            raise ValueError("warping requires at least two groups")
+        if np.asarray(smooth_covariate).ndim > 1 and np.asarray(
+            smooth_covariate
+        ).shape[1] > 1:
+            raise NotImplementedError(
+                "warping is only supported for 1-D covariates"
+            )
 
     Ds_all = [Y.shape[1] for Y in Ys]
     if svi_mode:
@@ -1142,6 +1238,7 @@ def fit_mofa(
             c = c[:, None]
         # normalize covariate scale so the lengthscale grid is unitless
         span = max(float(c.max() - c.min()), 1e-9)
+        _cov_span, _cov_min = span, float(c.min())
         gp_cov = jnp.asarray((c - c.min()) / span)
         gp_ell_grid = jnp.asarray(
             np.geomspace(0.05, 1.0, smooth_n_grid).astype(np.float32)
@@ -1182,6 +1279,21 @@ def fit_mofa(
         else:
             state, elbo = step_jit(state)
         it += 1
+        if (
+            warping
+            and it >= smooth_start_opt
+            and it % warping_freq == 0
+        ):
+            cov_np = _warp_groups(
+                np.asarray(gp_cov)[:, 0],
+                np.asarray(groups),
+                np.asarray(state["Z_mean"], np.float64),
+                int(warping_ref),
+                warping_open_begin,
+                warping_open_end,
+            )
+            gp_cov = jnp.asarray(cov_np.astype(np.float32)[:, None])
+            state["gp_K"] = _gp_kmat_fn()(gp_cov, gp_ell, gp_scale)
         if (
             smooth
             and it >= smooth_start_opt
@@ -1257,6 +1369,11 @@ def fit_mofa(
             np.asarray(gp_ell)[order] if smooth else None
         ),
         gp_scales=(np.asarray(gp_scale)[order] if smooth else None),
+        warped_covariates=(
+            np.asarray(gp_cov)[:, 0] * _cov_span + _cov_min
+            if warping
+            else None
+        ),
     )
 
     # variance explained per factor (MOFA convention: 1 − SS_res(k)/SS_tot,

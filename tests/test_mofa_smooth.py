@@ -97,3 +97,102 @@ class TestSmoothFactors:
         )
         with pytest.raises(ValueError):
             mu.tl.mofa(md, n_factors=2, smooth_covariate="nope")
+
+
+class TestWarping:
+    """DTW covariate warping across groups (reference option surface
+    muon/_core/tools.py:317,538-541: smooth_warping + warping_* kwargs)."""
+
+    @staticmethod
+    def _sim_warped(seed=0, n_per=100, d=30):
+        """Two groups sharing latent time; group 1's covariate distorted."""
+        rng = np.random.default_rng(seed)
+        t = np.linspace(0, 1, n_per).astype(np.float32)
+        Z = np.stack(
+            [np.sin(2 * np.pi * t), np.cos(2 * np.pi * t)], axis=1
+        ).astype(np.float32)
+        W = rng.normal(size=(d, 2)).astype(np.float32)
+        Y0 = Z @ W.T + 0.1 * rng.normal(size=(n_per, d)).astype(np.float32)
+        Y1 = Z @ W.T + 0.1 * rng.normal(size=(n_per, d)).astype(np.float32)
+        Y = np.concatenate([Y0, Y1]).astype(np.float32)
+        groups = np.repeat([0, 1], n_per)
+        cov = np.concatenate([t, t**2])  # group 1 observed on distorted clock
+        return t, Y, groups, cov
+
+    def test_latent_time_recovery(self):
+        t, Y, groups, cov = self._sim_warped()
+        n_per = len(t)
+        res = fit_mofa(
+            [Y], MOFAConfig(n_factors=2, seed=1), groups=groups,
+            n_iterations=200, smooth_covariate=cov,
+            warping=True, warping_freq=20,
+        )
+        w = res.warped_covariates
+        assert w is not None and w.shape == (2 * n_per,)
+        # reference group's covariate is never touched
+        assert np.allclose(w[:n_per], cov[:n_per], atol=1e-6)
+        # the distorted group is pulled onto the shared latent clock
+        err_before = ((cov[n_per:] - t) ** 2).mean()
+        err_after = ((w[n_per:] - t) ** 2).mean()
+        assert err_after < 0.2 * err_before, (err_before, err_after)
+        # DTW paths are monotone, so warped times are non-decreasing
+        assert (np.diff(w[n_per:]) >= -1e-6).all()
+
+    def test_through_mu_tl_with_named_ref(self, tmp_path):
+        t, Y, groups, cov = self._sim_warped(seed=3)
+        n = len(cov)
+        obs = pd.DataFrame(
+            {
+                "time": cov,
+                "batch": np.where(groups == 0, "ref", "warped"),
+            },
+            index=[f"c{i}" for i in range(n)],
+        )
+        md = mu.MuData({"a": mu.AnnData(X=Y, obs=obs.copy())})
+        md.update()
+        md.obs["batch"] = obs["batch"].to_numpy()  # global obs column
+        mu.tl.mofa(
+            md, n_factors=2, n_iterations=150, groups_label="batch",
+            smooth_covariate="time", smooth_warping=True,
+            smooth_kwargs={"warping_ref": "ref", "warping_freq": 20},
+            outfile=str(tmp_path / "w.hdf5"),
+        )
+        assert "time_warped" in md.obs.columns
+        w = md.obs["time_warped"].to_numpy()
+        sel_ref = (obs["batch"] == "ref").to_numpy()
+        assert np.allclose(w[sel_ref], cov[sel_ref], atol=1e-6)
+        err_before = ((cov[~sel_ref] - t) ** 2).mean()
+        err_after = ((w[~sel_ref] - t) ** 2).mean()
+        assert err_after < 0.5 * err_before, (err_before, err_after)
+        import h5py
+
+        with h5py.File(tmp_path / "w.hdf5") as f:
+            assert "smooth/warped_covariates" in f
+
+    def test_guards(self):
+        rng = np.random.default_rng(0)
+        Y = rng.normal(size=(40, 10)).astype(np.float32)
+        cfg = MOFAConfig(n_factors=2, seed=0)
+        with pytest.raises(ValueError):  # warping without smooth covariate
+            fit_mofa([Y], cfg, n_iterations=5, warping=True)
+        with pytest.raises(ValueError):  # warping with a single group
+            fit_mofa(
+                [Y], cfg, n_iterations=5,
+                smooth_covariate=np.linspace(0, 1, 40), warping=True,
+            )
+        md = mu.MuData(
+            {"a": mu.AnnData(
+                X=Y,
+                obs=pd.DataFrame(
+                    {"time": np.linspace(0, 1, 40),
+                     "batch": ["x"] * 20 + ["y"] * 20},
+                    index=[f"c{i}" for i in range(40)],
+                ),
+            )}
+        )
+        with pytest.raises(ValueError):  # unknown warping_ref group name
+            mu.tl.mofa(
+                md, n_factors=2, n_iterations=5, groups_label="batch",
+                smooth_covariate="time", smooth_warping=True,
+                smooth_kwargs={"warping_ref": "nope"},
+            )
