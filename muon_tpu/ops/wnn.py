@@ -267,10 +267,19 @@ def _fusion_fn():
     jax, jnp = _jax()
 
     @partial(jax.jit, static_argnames=("block", "metric"))
-    def f(acc, cand_local, rep, local_rows, sigmas_local, w_col, block, metric):
+    def f(acc, cand_glob, rep, local_rows, sigmas_local, w_col, block, metric):
         """acc[cell, c] += w[cell] * exp(−dist(rep[cell], rep[cand])/σ[cell])
         for candidates present in this modality (reference fusion loop,
-        muon/_core/preproc.py:571-601)."""
+        muon/_core/preproc.py:571-601). cand_glob holds GLOBAL cell ids;
+        the modality-local translation happens here on device because the
+        (n, C) candidate matrix is ~160MB at 100k cells and the tunnel h2d
+        link moves ~50MB/s — global candidates upload once, each modality
+        ships only its (n,) local_rows map."""
+        cand_local = jnp.where(
+            cand_glob >= 0,
+            local_rows[jnp.where(cand_glob >= 0, cand_glob, 0)],
+            -1,
+        )
         n, C = cand_local.shape
         d = rep.shape[1]
         nb = -(-n // block)
@@ -316,6 +325,28 @@ def _fusion_fn():
         accp = jnp.pad(acc, ((0, n_pad - n), (0, 0)))
         accp, _ = jax.lax.scan(body, accp, jnp.arange(nb))
         return accp[:n]
+
+    return f
+
+
+@lru_cache(maxsize=None)
+def _cand_dedup_fn():
+    jax, jnp = _jax()
+
+    @jax.jit
+    def f(cand):
+        cs = jnp.sort(cand, axis=1)
+        dup = jnp.concatenate(
+            [
+                jnp.zeros((cand.shape[0], 1), bool),
+                (cs[:, 1:] == cs[:, :-1]) & (cs[:, 1:] >= 0),
+            ],
+            axis=1,
+        )
+        cs = jnp.where(dup, -1, cs)
+        order = jnp.argsort(cs < 0, axis=1, stable=True)
+        compact = jnp.take_along_axis(cs, order, axis=1)
+        return compact, (compact >= 0).sum(axis=1).max()
 
     return f
 
@@ -488,9 +519,11 @@ def wnn_neighbors(
     ew[~np.isfinite(ratios)] = 0.0
     weights = ew / np.maximum(ew.sum(axis=1, keepdims=True), 1e-30)
 
-    # -- candidate graph -------------------------------------------------------
+    # -- candidate graph (device-resident: the (n, C) candidate matrix is
+    # never downloaded or re-uploaded — at 100k cells it is ~160MB and the
+    # tunnel h2d link moves ~50MB/s, which used to dominate the stage) -----
     m_per = n_multineighbors
-    cand_all = np.full((n_global, n_mods * m_per), -1, dtype=np.int64)
+    cand_j = jnp.full((n_global, n_mods * m_per), -1, dtype=jnp.int32)
     for i, mod in enumerate(modalities):
       with stage(f"wnn/candidates[{mod}]"):
         rep = reps[mod]
@@ -499,36 +532,31 @@ def wnn_neighbors(
         # candidate pool is 10x oversampled vs the final k: bf16 cross
         # terms are plenty accurate for pool SELECTION and 4x faster
         idx, _ = knn(rep, k_cand, metric=cmetric, approx=rep.shape[0] > 20000)
-        idx = np.asarray(idx)[:, 1:]  # drop self
-        glob = l2g[mod][idx]  # → global ids
-        rows_glob = l2g[mod]
-        cand_all[rows_glob, i * m_per : i * m_per + glob.shape[1]] = glob
+        idx = idx[:, 1:]  # drop self (device array)
+        l2g_j = jnp.asarray(l2g[mod].astype(np.int32))
+        glob = jnp.where(idx >= 0, l2g_j[jnp.where(idx >= 0, idx, 0)], -1)
+        cand_j = cand_j.at[
+            l2g_j, i * m_per : i * m_per + glob.shape[1]
+        ].set(glob)
 
-    # dedup per row (sorted; repeats → -1)
-    cand_sorted = np.sort(cand_all, axis=1)
-    dup = np.zeros_like(cand_sorted, dtype=bool)
-    dup[:, 1:] = (cand_sorted[:, 1:] == cand_sorted[:, :-1]) & (cand_sorted[:, 1:] >= 0)
-    cand_sorted[dup] = -1
-    # compact: push valid to the front
-    order = np.argsort(cand_sorted < 0, axis=1, kind="stable")
-    cand = np.take_along_axis(cand_sorted, order, axis=1)
-    maxc = max(int((cand >= 0).sum(axis=1).max()), n_neighbors + 1)
-    cand = cand[:, :maxc]
+    # dedup + compact per row, all on device
+    dedup = _cand_dedup_fn()
+    cand_j, nvalid = dedup(cand_j)
+    maxc = max(int(nvalid), n_neighbors + 1)
+    # bucket the trim width so downstream kernels compile per 64-bucket
+    maxc = min(cand_j.shape[1], -(-maxc // 64) * 64)
+    cand_j = cand_j[:, :maxc]
 
     # -- fusion -----------------------------------------------------------------
-    scores = np.zeros((n_global, cand.shape[1]), dtype=np.float32)
-    scores_j = jnp.asarray(scores)
-    cand_j = jnp.asarray(cand.astype(np.int32))
+    scores_j = jnp.zeros((n_global, maxc), dtype=jnp.float32)
     for i, mod in enumerate(modalities):
       with stage(f"wnn/fusion[{mod}]"):
         rep = reps[mod]
-        cand_local = g2l[mod][np.where(cand >= 0, cand, 0)]
-        cand_local = np.where(cand >= 0, cand_local, -1).astype(np.int32)
-        block = max(64, min(2048, (1 << 27) // max(1, cand.shape[1] * rep.shape[1] * 4)))
+        block = max(64, min(2048, (1 << 27) // max(1, maxc * rep.shape[1] * 4)))
         block = min(block, n_global)
         scores_j = _fusion_fn()(
             scores_j,
-            jnp.asarray(cand_local),
+            cand_j,
             jnp.asarray(rep),
             jnp.asarray(g2l[mod]),
             jnp.asarray(sigmas[mod]),
@@ -540,7 +568,7 @@ def wnn_neighbors(
     # -- final kNN + connectivities ----------------------------------------------
     stage_final = stage("wnn/finalize")
     stage_final.__enter__()
-    kfin = min(n_neighbors + 1, cand.shape[1])
+    kfin = min(n_neighbors + 1, maxc)
     idx_f, dist_f = _final_topk_fn()(scores_j, cand_j, kfin)
     idx_f = np.asarray(idx_f)
     dist_f = np.asarray(dist_f, dtype=np.float64)
