@@ -71,6 +71,43 @@ def _jax():
     return jax, jnp
 
 
+class LazyDeviceCSR(sp.csr_matrix):
+    """CSR whose value vector lives on device until someone reads it.
+
+    Structure-preserving transforms (TF-IDF, binarize, CLR) produce new
+    values as a device array. Downloading them eagerly costs seconds at
+    production scale (the tunneled d2h link moves ~30-50MB/s and 25M f32
+    values are 100MB) — and the typical pipeline (tfidf → lsi →
+    neighbors) never reads the host values at all, it re-enters the
+    device through the residency tag. So ``.data`` materializes lazily:
+    the d2h copy runs on first attribute read, and any *assignment* to
+    ``.data`` drops the device cache (a mutation guard strictly stronger
+    than the identity check used for plain matrices).
+    """
+
+    @property
+    def data(self):
+        d = self.__dict__.get("_data_host")
+        if d is None:
+            dev = self.__dict__.get("_lazy_dev")
+            if dev is not None:
+                d = np.asarray(dev)[: self.__dict__["_lazy_nnz"]]
+            else:  # pre-construction access from scipy internals
+                d = np.empty(0, dtype=np.float32)
+            self.__dict__["_data_host"] = d
+        return d
+
+    @data.setter
+    def data(self, v):
+        self.__dict__["_data_host"] = v
+        # explicit data replacement invalidates the device cache
+        self.__dict__.pop("_lazy_dev", None)
+        self.__dict__.pop("_muon_tpu_device", None)
+
+    def materialized(self) -> bool:
+        return self.__dict__.get("_data_host") is not None
+
+
 def from_scipy(X, pad_multiple: int = 8192, dtype=None) -> DeviceCOO:
     """Upload a scipy sparse matrix into padded device COO.
 
@@ -83,7 +120,13 @@ def from_scipy(X, pad_multiple: int = 8192, dtype=None) -> DeviceCOO:
     cached = getattr(X, "_muon_tpu_device", None)
     if cached is not None:
         dX, host_ref = cached
-        if (
+        if host_ref is None:
+            # lazy matrix: valid as long as .data was never replaced
+            # (the setter would have dropped the tag) — do NOT touch
+            # X.data here, that would trigger the d2h materialization
+            if dX.shape == X.shape:
+                return dX
+        elif (
             host_ref is X.data
             and dX.shape == X.shape
             and dX.nnz == X.nnz
@@ -197,11 +240,20 @@ def to_scipy_data(X_csr, new_data, device_X: Optional[DeviceCOO] = None) -> sp.c
     When ``device_X`` (the source DeviceCOO) is provided and ``new_data``
     is a device array, the result is tagged device-resident: downstream
     ops (lsi, pca, neighbors) reuse the device buffers directly."""
-    out = X_csr.copy()
-    new = np.asarray(new_data)[: X_csr.nnz]
-    out.data = new
     if device_X is not None and hasattr(new_data, "devices"):
-        out._muon_tpu_device = (device_X._replace(data=new_data), out.data)
+        out = LazyDeviceCSR(X_csr.shape, dtype=np.float32)
+        out.indices = X_csr.indices.copy()
+        out.indptr = X_csr.indptr.copy()
+        out.__dict__["_data_host"] = None
+        out.__dict__["_lazy_dev"] = new_data
+        out.__dict__["_lazy_nnz"] = X_csr.nnz
+        out.__dict__["_muon_tpu_device"] = (
+            device_X._replace(data=new_data),
+            None,
+        )
+        return out
+    out = X_csr.copy()
+    out.data = np.asarray(new_data)[: X_csr.nnz]
     return out
 
 
