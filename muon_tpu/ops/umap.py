@@ -7,8 +7,9 @@ edges + uniform negative samples), and all epochs run inside a single
 ``lax.fori_loop`` — no host round-trips during optimization.
 
 Deviation from umap-learn (documented): updates within an epoch are
-applied with scatter-adds (Hogwild-style collisions resolved by summation)
-rather than sequential in-place writes; clip and schedule semantics match.
+accumulated per vertex (sorted segment-sums, Hogwild-style collisions
+resolved by summation) rather than applied as sequential in-place writes;
+clip and schedule semantics match.
 """
 
 from __future__ import annotations
@@ -74,7 +75,18 @@ def _optimize_fn():
     @partial(jax.jit, static_argnames=("n_run", "n_epochs", "neg_rate",
                                        "move_other"))
     def f(emb, eons, eonns, heads, tails, epochs_per_sample, epoch0, n_run,
-          n_epochs, a, b, gamma, init_alpha, neg_rate, key, move_other):
+          n_epochs, a, b, gamma, init_alpha, neg_rate, key, move_other,
+          hsort, hseg, tsort, tseg):
+        """One chunk of SGD epochs.
+
+        All per-edge gradients for an epoch are accumulated into the
+        embedding with TWO sorted segment-sums (one over head-sorted
+        edges, one over tail-sorted) followed by dense adds — TPU
+        scatter-add over millions of indices is the slow path, sorted
+        segment reduction is the fast one (same trade as the SpMM
+        kernel in ops/sparse). hsort/tsort are the edge permutations
+        that sort by head/tail; hseg/tseg the sorted segment ids.
+        """
         n_edges = heads.shape[0]
         n = emb.shape[0]
 
@@ -95,21 +107,17 @@ def _optimize_fn():
             grad_coeff = jnp.where(d2 > 0, grad_coeff, 0.0)
             g = jnp.clip(grad_coeff[:, None] * diff, -4.0, 4.0)
             g = jnp.where(due[:, None], g, 0.0)
-            emb = emb.at[heads].add(alpha * g)
-            if move_other:
-                emb = emb.at[tails].add(-alpha * g)
 
-            # negative samples
+            # negative samples: fixed neg_rate draws per due edge
+            # (umap draws a variable number; the expectation matches)
             n_neg_mult = ((epoch + 1.0 - eonns) / (epochs_per_sample / neg_rate))
             n_neg = jnp.where(due, jnp.maximum(n_neg_mult, 0.0), 0.0)
             key, sub = jax.random.split(key)
-            # fixed neg_rate draws per due edge (umap draws a variable
-            # number; the expectation matches)
             negs = jax.random.randint(sub, (n_edges, neg_rate), 0, n)
-            h2 = emb[heads]
+            g_head = g
             for r in range(neg_rate):
                 tneg = emb[negs[:, r]]
-                diffn = h2 - tneg
+                diffn = h - tneg
                 d2n = (diffn * diffn).sum(-1)
                 coeff = (2.0 * gamma * b) / (
                     (0.001 + d2n) * (a * d2n**b + 1.0)
@@ -121,7 +129,19 @@ def _optimize_fn():
                 )
                 gn = jnp.where(due[:, None] & (negs[:, r] != heads)[:, None],
                                gn, 0.0)
-                emb = emb.at[heads].add(alpha * gn)
+                g_head = g_head + gn
+
+            upd_h = jax.ops.segment_sum(
+                g_head[hsort], hseg, num_segments=n,
+                indices_are_sorted=True,
+            )
+            emb = emb + alpha * upd_h
+            if move_other:
+                upd_t = jax.ops.segment_sum(
+                    g[tsort], tseg, num_segments=n,
+                    indices_are_sorted=True,
+                )
+                emb = emb - alpha * upd_t
 
             eons = jnp.where(due, eons + epochs_per_sample, eons)
             eonns = jnp.where(due, eonns + n_neg * (epochs_per_sample / neg_rate),
@@ -181,6 +201,14 @@ def umap_embed(
     eps = jnp.asarray(epochs_per_sample)
     state = (jnp.asarray(emb), eps, eps / negative_sample_rate, key)
     heads_j, tails_j = jnp.asarray(heads), jnp.asarray(tails)
+    # edge permutations sorting by head/tail, for the per-epoch sorted
+    # segment-sum accumulation (host argsort: once per embedding)
+    hsort = np.argsort(heads, kind="stable")
+    tsort = np.argsort(tails, kind="stable")
+    hsort_j = jnp.asarray(hsort.astype(np.int32))
+    hseg_j = jnp.asarray(heads[hsort].astype(np.int32))
+    tsort_j = jnp.asarray(tsort.astype(np.int32))
+    tseg_j = jnp.asarray(tails[tsort].astype(np.int32))
     # epochs run in chunks: one multi-minute XLA program can trip the TPU
     # worker watchdog at 10⁵-cell scale, and chunking costs nothing
     chunk = 25
@@ -190,6 +218,6 @@ def umap_embed(
             state[0], state[1], state[2], heads_j, tails_j, eps,
             float(e0), int(n_run), int(n_epochs), float(a), float(b),
             float(gamma), float(alpha), int(negative_sample_rate),
-            state[3], True,
+            state[3], True, hsort_j, hseg_j, tsort_j, tseg_j,
         )
     return np.asarray(state[0])
