@@ -278,6 +278,11 @@ def mofa(
             fit_kwargs["smooth_opt_every"] = int(sk["opt_freq"])
         if "start_opt" in sk:
             fit_kwargs["smooth_start_opt"] = int(sk["start_opt"])
+        if sk.get("sparseGP"):
+            # inducing-point GPs (reference muon/_core/tools.py:542-543)
+            fit_kwargs["sparse_gp"] = True
+            if sk.get("frac_inducing") is not None:
+                fit_kwargs["frac_inducing"] = float(sk["frac_inducing"])
         if smooth_warping:
             # DTW alignment of each group's covariate to the reference
             # group (reference option surface muon/_core/tools.py:538-541)

@@ -97,6 +97,7 @@ def _make_step(
     masked: Sequence[bool],
     liks: Optional[Sequence[str]] = None,
     smooth: bool = False,
+    sparse_gp: bool = False,
 ):
     """Build the jitted coordinate-ascent sweep for static shapes.
 
@@ -282,7 +283,46 @@ def _make_step(
                 else:
                     p = p + B @ tSWW[m][:, k]
                     b = b + Es[m] @ tsw + Zm[:, k] * (B @ tSW2[m][:, k])
-            if smooth:
+            if smooth and sparse_gp:
+                # sparse (inducing-point) GP, SGPR form (mofapy2's
+                # sparseGP option, reference muon/_core/tools.py:542-543,
+                # 578-579): with Σ = K_mm + K_mn diag(p) K_nm,
+                #   E[z]   = K_nm Σ⁻¹ K_mn b
+                #   Var[z] = k_ii − diag(Nyström) + diag(K_nm Σ⁻¹ K_mm Σ⁻¹ K_mn)
+                # Kernels are built in-step from the covariates so state
+                # never holds an (N, N) matrix — cost is O(N·M²+M³).
+                cn = state["gp_cov"]
+                cu = state["gp_cov_u"]
+                ell = state["gp_ell"][k]
+                sc = state["gp_scale"][k]
+                jit_eps = 1e-4
+                gn_ = state["gp_g"]
+                gu_ = state["gp_g_u"]
+                d2u = ((cu[:, None, :] - cu[None, :, :]) ** 2).sum(-1)
+                Kmm = sc * jnp.exp(-0.5 * d2u / (ell**2)) * (
+                    gu_[:, None] == gu_[None, :]
+                ) + (1.0 - sc + jit_eps) * jnp.eye(
+                    cu.shape[0], dtype=Zm.dtype
+                )
+                d2nm = ((cn[:, None, :] - cu[None, :, :]) ** 2).sum(-1)
+                Knm = (
+                    sc
+                    * jnp.exp(-0.5 * d2nm / (ell**2))
+                    * (gn_[:, None] == gu_[None, :])
+                )
+                Sig = Kmm + (Knm.T * p[None, :]) @ Knm
+                L = jnp.linalg.cholesky(Sig)
+                w1 = jax.scipy.linalg.cho_solve((L, True), Knm.T @ b)
+                z_new = Knm @ w1
+                Bm = jax.scipy.linalg.cho_solve((L, True), Knm.T)
+                proj = ((Kmm @ Bm) * Bm).sum(axis=0)
+                Lm = jnp.linalg.cholesky(Kmm)
+                A2 = jax.scipy.linalg.solve_triangular(
+                    Lm, Knm.T, lower=True
+                )
+                q_ii = (A2 * A2).sum(axis=0)
+                v_new = jnp.maximum(1.0 + jit_eps - q_ii + proj, 1e-8)
+            elif smooth:
                 # MEFISTO smooth factor: q(z_k) = N(Σb, Σ) with
                 # Σ = (K_k⁻¹ + diag(p))⁻¹, solved via the Woodbury form
                 # Σ = K − KS(I + SKS)⁻¹SK (S = diag √p) — Cholesky + two
@@ -505,7 +545,18 @@ def _make_step(
             "mask": masks_eff,
             "M01": state["M01"],
             "Y0": state["Y0"],
-            **({"gp_K": state["gp_K"]} if smooth else {}),
+            **(
+                {
+                    "gp_cov": state["gp_cov"],
+                    "gp_cov_u": state["gp_cov_u"],
+                    "gp_ell": state["gp_ell"],
+                    "gp_scale": state["gp_scale"],
+                    "gp_g": state["gp_g"],
+                    "gp_g_u": state["gp_g_u"],
+                }
+                if (smooth and sparse_gp)
+                else ({"gp_K": state["gp_K"]} if smooth else {})
+            ),
             "W_hat": Whats,
             "W_var": Wvs,
             "S": Svs,
@@ -531,10 +582,18 @@ def _make_step(
 # ---------------------------------------------------------------------------
 
 
-def _rbf_kernel(jnp, c, ell, scale, jitter=1e-4):
-    """K = s·exp(−‖cᵢ−cⱼ‖²/2ℓ²) + (1−s+jitter)·I over covariates c (N, p)."""
+def _rbf_kernel(jnp, c, ell, scale, jitter=1e-4, gvec=None):
+    """K = s·exp(−‖cᵢ−cⱼ‖²/2ℓ²) + (1−s+jitter)·I over covariates c (N, p).
+
+    gvec (N,) group labels makes the kernel block-diagonal across groups
+    (mofapy2's model_groups structure with independent groups): smoothness
+    is enforced within each group's trajectory only, which is what lets
+    DTW warping observe group-specific shapes instead of a prior that has
+    already tied the groups together on the unaligned covariate."""
     d2 = ((c[:, None, :] - c[None, :, :]) ** 2).sum(-1)
     K = scale * jnp.exp(-0.5 * d2 / (ell**2))
+    if gvec is not None:
+        K = K * (gvec[:, None] == gvec[None, :]).astype(K.dtype)
     return K + (1.0 - scale + jitter) * jnp.eye(c.shape[0], dtype=c.dtype)
 
 
@@ -546,9 +605,9 @@ def _gp_hyper_fn():
     jax, jnp = _jax()
 
     @jax.jit
-    def f(c, Zm, Zv, ells, scales):
+    def f(c, Zm, Zv, ells, scales, gvec=None):
         def score_one(ell, scale):
-            K = _rbf_kernel(jnp, c, ell, scale)
+            K = _rbf_kernel(jnp, c, ell, scale, gvec=gvec)
             L = jnp.linalg.cholesky(K)
             logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
             sol = jax.scipy.linalg.cho_solve((L, True), Zm)  # (N, K)
@@ -577,8 +636,10 @@ def _gp_kmat_fn():
     jax, jnp = _jax()
 
     @jax.jit
-    def f(c, ells, scales):
-        return jax.vmap(lambda e, s: _rbf_kernel(jnp, c, e, s))(ells, scales)
+    def f(c, ells, scales, gvec=None):
+        return jax.vmap(
+            lambda e, s: _rbf_kernel(jnp, c, e, s, gvec=gvec)
+        )(ells, scales)
 
     return f
 
@@ -1145,6 +1206,8 @@ def fit_mofa(
     warping_ref: int = 0,
     warping_open_begin: bool = True,
     warping_open_end: bool = True,
+    sparse_gp: bool = False,
+    frac_inducing: Optional[float] = None,
 ) -> MOFAResult:
     """Train MOFA+ by VB coordinate ascent.
 
@@ -1199,6 +1262,8 @@ def fit_mofa(
             "spikeslab_factors is only supported in full-batch training "
             "without smooth covariates"
         )
+    if sparse_gp and not smooth:
+        raise ValueError("sparse_gp requires smooth_covariate")
     if warping:
         if not smooth:
             raise ValueError("warping requires smooth_covariate")
@@ -1218,7 +1283,10 @@ def fit_mofa(
         step_jit = jax.jit(svi_step)
         rng_batch = np.random.default_rng(config.seed)
     else:
-        step = _make_step(config, Ds_all, N, masked, liks, smooth=smooth)
+        step = _make_step(
+            config, Ds_all, N, masked, liks, smooth=smooth,
+            sparse_gp=sparse_gp,
+        )
         step_jit = jax.jit(step)
 
     it0 = 0
@@ -1250,8 +1318,44 @@ def fit_mofa(
         )
         gp_ell = jnp.full((config.n_factors,), 0.2, jnp.float32)
         gp_scale = jnp.full((config.n_factors,), 0.5, jnp.float32)
-        if "gp_K" not in state:
-            state["gp_K"] = _gp_kmat_fn()(gp_cov, gp_ell, gp_scale)
+        gvec_j = jnp.asarray(np.asarray(groups).astype(np.float32))
+        if sparse_gp:
+            # inducing points: covariate-quantile-spaced cells WITHIN each
+            # group (the kernel is block-diagonal across groups, so every
+            # group needs its own coverage of the time range; mofapy2
+            # samples a random fraction, quantile spacing is deterministic
+            # and covers gaps better)
+            Mu = min(
+                N,
+                max(10, int(round(frac_inducing * N)))
+                if frac_inducing
+                else min(1000, N),
+            )
+            cov_flat = np.asarray(gp_cov)[:, 0]
+            grp_np = np.asarray(groups)
+            parts = []
+            for g in np.unique(grp_np):
+                rows = np.flatnonzero(grp_np == g)
+                m_g = max(2, int(round(Mu * len(rows) / N)))
+                order_c = rows[np.argsort(cov_flat[rows], kind="stable")]
+                parts.append(
+                    order_c[
+                        np.linspace(0, len(rows) - 1, min(m_g, len(rows)))
+                        .round()
+                        .astype(int)
+                    ]
+                )
+            idx_u = np.unique(np.concatenate(parts))
+            idx_u_j = jnp.asarray(idx_u.astype(np.int32))
+            if "gp_cov_u" not in state:
+                state["gp_cov"] = gp_cov
+                state["gp_cov_u"] = gp_cov[idx_u_j]
+                state["gp_ell"] = gp_ell
+                state["gp_scale"] = gp_scale
+                state["gp_g"] = gvec_j
+                state["gp_g_u"] = gvec_j[idx_u_j]
+        elif "gp_K" not in state:
+            state["gp_K"] = _gp_kmat_fn()(gp_cov, gp_ell, gp_scale, gvec_j)
     if mesh is not None:
         # multi-chip: shard the state over the ("cells","feat") mesh; the
         # jitted sweep then runs SPMD with XLA-inserted collectives
@@ -1293,17 +1397,36 @@ def fit_mofa(
                 warping_open_end,
             )
             gp_cov = jnp.asarray(cov_np.astype(np.float32)[:, None])
-            state["gp_K"] = _gp_kmat_fn()(gp_cov, gp_ell, gp_scale)
+            if sparse_gp:
+                state["gp_cov"] = gp_cov
+                state["gp_cov_u"] = gp_cov[idx_u_j]
+            else:
+                state["gp_K"] = _gp_kmat_fn()(
+                    gp_cov, gp_ell, gp_scale, gvec_j
+                )
         if (
             smooth
             and it >= smooth_start_opt
             and it % smooth_opt_every == 0
         ):
-            gp_ell, gp_scale = _gp_hyper_fn()(
-                gp_cov, state["Z_mean"], state["Z_var"],
-                gp_ell_grid, gp_scale_grid,
-            )
-            state["gp_K"] = _gp_kmat_fn()(gp_cov, gp_ell, gp_scale)
+            if sparse_gp:
+                gp_ell, gp_scale = _gp_hyper_fn()(
+                    state["gp_cov_u"],
+                    state["Z_mean"][idx_u_j],
+                    state["Z_var"][idx_u_j],
+                    gp_ell_grid, gp_scale_grid,
+                    state["gp_g_u"],
+                )
+                state["gp_ell"] = gp_ell
+                state["gp_scale"] = gp_scale
+            else:
+                gp_ell, gp_scale = _gp_hyper_fn()(
+                    gp_cov, state["Z_mean"], state["Z_var"],
+                    gp_ell_grid, gp_scale_grid, gvec_j,
+                )
+                state["gp_K"] = _gp_kmat_fn()(
+                    gp_cov, gp_ell, gp_scale, gvec_j
+                )
         if callback is not None and it % elbo_every == 0:
             callback(it, state, float(elbo))
         if checkpoint_path and checkpoint_every and it % checkpoint_every == 0:

@@ -196,3 +196,58 @@ class TestWarping:
                 smooth_covariate="time", smooth_warping=True,
                 smooth_kwargs={"warping_ref": "nope"},
             )
+
+
+class TestSparseGP:
+    """Inducing-point GPs (reference option surface
+    muon/_core/tools.py:542-543,578-579: sparseGP + frac_inducing)."""
+
+    def test_recovery_matches_full(self):
+        t, Z, Y1, Y2 = _sim_temporal(seed=0)
+        config = MOFAConfig(n_factors=4, seed=0, ard_factors=False)
+        res = fit_mofa(
+            [Y1, Y2], config, n_iterations=150, smooth_covariate=t,
+            sparse_gp=True, frac_inducing=0.2,
+        )
+        r2s = _r2(Z, res.Z, 2)
+        assert (r2s > 0.9).all(), r2s
+
+    def test_through_mu_tl(self, tmp_path):
+        t, Z, Y1, Y2 = _sim_temporal(seed=4)
+        n = len(t)
+        obs = pd.DataFrame({"time": t}, index=[f"c{i}" for i in range(n)])
+        md = mu.MuData(
+            {
+                "a": mu.AnnData(X=Y1, obs=obs.copy()),
+                "b": mu.AnnData(X=Y2, obs=obs.copy()),
+            }
+        )
+        md.update()
+        mu.tl.mofa(
+            md, n_factors=4, n_iterations=120, smooth_covariate="time",
+            smooth_kwargs={"sparseGP": True, "frac_inducing": 0.25,
+                           "start_opt": 20, "opt_freq": 20},
+            outfile=str(tmp_path / "sg.hdf5"),
+        )
+        r2s = _r2(Z, md.obsm["X_mofa"], 2)
+        assert (r2s > 0.85).all(), r2s
+
+    def test_sparse_with_warping(self):
+        t, Y, groups, cov = TestWarping._sim_warped(seed=1)
+        n_per = len(t)
+        res = fit_mofa(
+            [Y], MOFAConfig(n_factors=2, seed=1), groups=groups,
+            n_iterations=200, smooth_covariate=cov,
+            warping=True, warping_freq=20,
+            sparse_gp=True, frac_inducing=0.3,
+        )
+        w = res.warped_covariates
+        err_before = ((cov[n_per:] - t) ** 2).mean()
+        err_after = ((w[n_per:] - t) ** 2).mean()
+        assert err_after < 0.3 * err_before, (err_before, err_after)
+
+    def test_guard(self):
+        Y = np.random.default_rng(0).normal(size=(30, 8)).astype(np.float32)
+        with pytest.raises(ValueError):
+            fit_mofa([Y], MOFAConfig(n_factors=2), n_iterations=5,
+                     sparse_gp=True)
