@@ -136,4 +136,19 @@ def shard_mofa_state(state: dict, mesh) -> dict:
         out[k] = put(state[k], rep)
     if "gp_K" in state:  # MEFISTO prior covariances: replicated (N is
         out["gp_K"] = put(state["gp_K"], rep)  # moderate when GPs are used)
+    # spike-slab factor expectations follow Z (cells axis)
+    for key in ("Z_hat", "Z_vhat", "Z_S"):
+        if key in state:
+            out[key] = put(state[key], cells2)
+    for key in ("theta_z_ln", "theta_z_ln1m", "ln_alpha_z", "ssz_on"):
+        if key in state:
+            out[key] = put(state[key], rep)
+    # sparse-GP fields: covariates/groups follow cells, inducing-point
+    # arrays and per-factor hypers are small and replicated
+    cells1 = cells_sharding(mesh, 1)
+    if "gp_cov" in state:
+        out["gp_cov"] = put(state["gp_cov"], cells2)
+        out["gp_g"] = put(state["gp_g"], cells1)
+        for key in ("gp_cov_u", "gp_g_u", "gp_ell", "gp_scale"):
+            out[key] = put(state[key], rep)
     return out

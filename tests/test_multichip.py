@@ -67,3 +67,69 @@ class TestMultichip:
                 beta, *_ = np.linalg.lstsq(Zi, zt, rcond=None)
                 acc.append(1 - ((zt - Zi @ beta) ** 2).sum() / (zt**2).sum())
         np.testing.assert_allclose(r2m, r2p, atol=0.02)
+
+    def test_svi_with_mesh(self):
+        """Stochastic VI over a sharded state: batches gather across the
+        cells axis, global parameters blend replicated (the reference's
+        SVI surface muon/_core/tools.py:520-527, scaled out)."""
+        from muon_tpu.models.mofa import MOFAConfig, fit_mofa
+        from muon_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(1)
+        n, k = 128, 3
+        Z = rng.normal(size=(n, k)).astype(np.float32)
+        Y = (Z @ rng.normal(size=(48, k)).T
+             + 0.1 * rng.normal(size=(n, 48))).astype(np.float32)
+        config = MOFAConfig(n_factors=4, seed=0, ard_factors=False)
+        res = fit_mofa(
+            [Y], config, n_iterations=120, svi_mode=True,
+            svi_batch_fraction=0.5, mesh=make_mesh(8),
+        )
+        Zi = res.Z - res.Z.mean(0)
+        for j in range(k):
+            zt = Z[:, j] - Z[:, j].mean()
+            beta, *_ = np.linalg.lstsq(Zi, zt, rcond=None)
+            r2 = 1 - ((zt - Zi @ beta) ** 2).sum() / (zt**2).sum()
+            assert r2 > 0.8, (j, r2)
+
+    def test_sparse_gp_with_mesh(self):
+        """Sparse-GP smooth factors under GSPMD: the (N, M) cross-kernel
+        partitions over cells, inducing-point algebra replicates."""
+        from muon_tpu.models.mofa import MOFAConfig, fit_mofa
+        from muon_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(2)
+        n = 160
+        t = np.sort(rng.uniform(0, 1, n)).astype(np.float32)
+        Z = np.stack([np.sin(2 * np.pi * t)], 1).astype(np.float32)
+        Y = (Z @ rng.normal(size=(40, 1)).T
+             + 0.3 * rng.normal(size=(n, 40))).astype(np.float32)
+        res = fit_mofa(
+            [Y], MOFAConfig(n_factors=2, seed=0, ard_factors=False),
+            n_iterations=80, smooth_covariate=t,
+            sparse_gp=True, frac_inducing=0.2, mesh=make_mesh(8),
+        )
+        Zi = res.Z - res.Z.mean(0)
+        zt = Z[:, 0] - Z[:, 0].mean()
+        beta, *_ = np.linalg.lstsq(Zi, zt, rcond=None)
+        r2 = 1 - ((zt - Zi @ beta) ** 2).sum() / (zt**2).sum()
+        assert r2 > 0.9, r2
+
+    def test_spikeslab_factors_with_mesh(self):
+        from muon_tpu.models.mofa import MOFAConfig, fit_mofa
+        from muon_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(3)
+        n, k = 120, 2
+        Z = rng.normal(size=(n, k)).astype(np.float32)
+        Y1 = (Z @ rng.normal(size=(40, k)).T
+              + 0.1 * rng.normal(size=(n, 40))).astype(np.float32)
+        Y2 = (Z @ rng.normal(size=(30, k)).T
+              + 0.1 * rng.normal(size=(n, 30))).astype(np.float32)
+        cfg = MOFAConfig(n_factors=3, seed=1, spikeslab_factors=True)
+        res = fit_mofa([Y1, Y2], cfg, n_iterations=150,
+                       mesh=make_mesh(8))
+        plain = fit_mofa([Y1, Y2], cfg, n_iterations=150)
+        # sharded ssz training is the same program under a different
+        # partitioning — factors match up to reduction-order noise
+        np.testing.assert_allclose(res.Z, plain.Z, rtol=1e-2, atol=1e-3)
