@@ -755,6 +755,13 @@ def _make_svi_step(
         alpha_z = state["alpha_z"]
         theta_ln = state["theta_ln"]
         theta_ln1m = state["theta_ln1m"]
+        ssz = config.spikeslab_factors
+        if ssz:
+            Zhat_b = take(state["Z_hat"])
+            Zvhat_b = take(state["Z_vhat"])
+            ZS_b = take(state["Z_S"])
+            thz_gap_b = Gb @ (state["theta_z_ln"] - state["theta_z_ln1m"])
+            ln_az_b = Gb @ state["ln_alpha_z"]
 
         # ---- batch residuals + bound refresh ----
         # Tgts holds the pseudo-target per view so residuals can be rebuilt
@@ -877,7 +884,7 @@ def _make_svi_step(
         tSW2 = [state["tau"][m][:, None] * SWs[m] * SWs[m] for m in range(M)]
 
         def z_body(k, carry):
-            Zb, Zvb, Es = carry
+            Zb, Zvb, Zhat_c, Zvhat_c, ZS_c, Es = carry
             p = jax.lax.dynamic_slice_in_dim(prior_prec, k, 1, 1)[:, 0]
             b = jnp.zeros((S,), Zb.dtype)
             for m in range(M):
@@ -891,8 +898,35 @@ def _make_svi_step(
                 else:
                     p = p + B @ tSWW[m][:, k]
                     b = b + Es[m] @ tsw + Zb[:, k] * (B @ tSW2[m][:, k])
-            z_new = b / p
-            v_new = 1.0 / p
+            if ssz:
+                # spike-slab factor update on the batch (same math as the
+                # full-batch ssz branch; delayed sparsity via ssz_on)
+                z_hat = b / p
+                v_hat = 1.0 / p
+                lam = (
+                    thz_gap_b[:, k]
+                    + 0.5 * ln_az_b[:, k]
+                    - 0.5 * jnp.log(p)
+                    + 0.5 * b * b / p
+                )
+                s_z = jnp.where(
+                    state["ssz_on"] > 0, jax.nn.sigmoid(lam), 1.0
+                )
+                z_new = s_z * z_hat
+                ez2 = s_z * (v_hat + z_hat * z_hat)
+                v_new = jnp.maximum(ez2 - z_new * z_new, 1e-12)
+                Zhat_c = jax.lax.dynamic_update_slice_in_dim(
+                    Zhat_c, z_hat[:, None], k, 1
+                )
+                Zvhat_c = jax.lax.dynamic_update_slice_in_dim(
+                    Zvhat_c, v_hat[:, None], k, 1
+                )
+                ZS_c = jax.lax.dynamic_update_slice_in_dim(
+                    ZS_c, s_z[:, None], k, 1
+                )
+            else:
+                z_new = b / p
+                v_new = 1.0 / p
             delta = jax.lax.dynamic_slice_in_dim(Zb, k, 1, 1)[:, 0] - z_new
             new_Es = []
             for m in range(M):
@@ -901,9 +935,15 @@ def _make_svi_step(
                 new_Es.append(Es[m] + (corr * Bs[m] if Bs[m] is not None else corr))
             Zb = jax.lax.dynamic_update_slice_in_dim(Zb, z_new[:, None], k, 1)
             Zvb = jax.lax.dynamic_update_slice_in_dim(Zvb, v_new[:, None], k, 1)
-            return (Zb, Zvb, tuple(new_Es))
+            return (Zb, Zvb, Zhat_c, Zvhat_c, ZS_c, tuple(new_Es))
 
-        Zb, Zvb, Es_t = jax.lax.fori_loop(0, K, z_body, (Zb, Zvb, tuple(Es)))
+        if ssz:
+            zc0 = (Zhat_b, Zvhat_b, ZS_b)
+        else:
+            zc0 = (Zb, Zb, Zb)  # placeholders, untouched by the body
+        Zb, Zvb, Zhat_b, Zvhat_b, ZS_b, Es_t = jax.lax.fori_loop(
+            0, K, z_body, (Zb, Zvb, *zc0, tuple(Es))
+        )
         Es = list(Es_t)
         z2b = Zvb + Zb * Zb
 
@@ -956,12 +996,39 @@ def _make_svi_step(
             alpha = jnp.stack(alpha_new)
             ln_alpha = jnp.stack(ln_alpha_new)
 
+        ln_alpha_z = state.get("ln_alpha_z")
         if config.ard_factors:
             Ng = Gb.sum(axis=0) * scale
-            z2_per_group = (Gb.T @ z2b) * scale
+            if ssz:
+                az_cell = Gb @ alpha_z
+                zhat2 = ZS_b * (Zvhat_b + Zhat_b * Zhat_b) + (
+                    1.0 - ZS_b
+                ) / az_cell
+                z2_per_group = (Gb.T @ zhat2) * scale
+            else:
+                z2_per_group = (Gb.T @ z2b) * scale
             a = A0 + 0.5 * Ng[:, None]
             b = B0 + 0.5 * z2_per_group
             alpha_z = (1 - rho) * alpha_z + rho * (a / b)
+            if ssz:
+                ln_alpha_z = (1 - rho) * ln_alpha_z + rho * (
+                    _digamma(a) - jnp.log(b)
+                )
+        if ssz:
+            # θ_z from scaled batch slab counts, expectations blended
+            Ngc = (Gb.sum(axis=0) * scale)[:, None]
+            s_pg = (Gb.T @ ZS_b) * scale
+            sa = THETA_A0 + s_pg
+            sb = THETA_B0 + Ngc - s_pg
+            theta_z_ln = (1 - rho) * state["theta_z_ln"] + rho * (
+                _digamma(sa) - _digamma(sa + sb)
+            )
+            theta_z_ln1m = (1 - rho) * state["theta_z_ln1m"] + rho * (
+                _digamma(sb) - _digamma(sa + sb)
+            )
+            theta_z_mean = (1 - rho) * state["theta_z_mean"] + rho * (
+                sa / (sa + sb)
+            )
 
         if config.spikeslab_weights:
             th_ln, th_ln1m, th_mean = [], [], []
@@ -981,6 +1048,19 @@ def _make_svi_step(
         # scatter the batch's Z back
         Zm_full = Zm_full.at[batch].set(Zb)
         Zv_full = Zv_full.at[batch].set(Zvb)
+        if ssz:
+            ssz_state = {
+                "ssz_on": state["ssz_on"],
+                "Z_hat": state["Z_hat"].at[batch].set(Zhat_b),
+                "Z_vhat": state["Z_vhat"].at[batch].set(Zvhat_b),
+                "Z_S": state["Z_S"].at[batch].set(ZS_b),
+                "theta_z_ln": theta_z_ln,
+                "theta_z_ln1m": theta_z_ln1m,
+                "theta_z_mean": theta_z_mean,
+                "ln_alpha_z": ln_alpha_z,
+            }
+        else:
+            ssz_state = {}
 
         # surrogate objective: scaled batch reconstruction error (monitoring)
         elbo = 0.0
@@ -991,6 +1071,7 @@ def _make_svi_step(
 
         new_state = {
             **state,
+            **ssz_state,
             "Z_mean": Zm_full,
             "Z_var": Zv_full,
             "W_hat": new_W,
@@ -1257,10 +1338,11 @@ def fit_mofa(
             "smooth factors (MEFISTO) with svi_mode are not supported yet — "
             "use full-batch training"
         )
-    if config.spikeslab_factors and (smooth or svi_mode):
+    if config.spikeslab_factors and smooth:
         raise NotImplementedError(
-            "spikeslab_factors is only supported in full-batch training "
-            "without smooth covariates"
+            "spikeslab_factors is not supported together with smooth "
+            "covariates (a factor cannot have both a GP prior and a "
+            "spike-slab prior)"
         )
     if sparse_gp and not smooth:
         raise ValueError("sparse_gp requires smooth_covariate")
@@ -1369,7 +1451,7 @@ def fit_mofa(
     converged = False
     it = it0
     while it < n_iterations:
-        if config.spikeslab_factors and not svi_mode and it == 15:
+        if config.spikeslab_factors and it == 15:
             state = {**state, "ssz_on": jnp.ones((), jnp.float32)}
         if svi_mode:
             # ρ_t = lr · (t − t₀ + 1)^(−forgetting), the Robbins-Monro step

@@ -269,7 +269,34 @@ class TestSpikeslabFactors:
         Y = np.random.default_rng(0).normal(size=(40, 10)).astype(np.float32)
         cfg = MOFAConfig(n_factors=2, spikeslab_factors=True)
         with pytest.raises(NotImplementedError):
-            fit_mofa([Y], cfg, n_iterations=5, svi_mode=True)
-        with pytest.raises(NotImplementedError):
             fit_mofa([Y], cfg, n_iterations=5,
                      smooth_covariate=np.linspace(0, 1, 40))
+
+    def test_svi_sample_sparse_recovery(self):
+        """spikeslab_factors composes with stochastic VI: sparse factors
+        recovered from minibatch training."""
+        from muon_tpu.models.mofa import MOFAConfig, fit_mofa
+
+        rng = np.random.default_rng(0)
+        n, k_true = 300, 3
+        Z = rng.normal(size=(n, k_true)).astype(np.float32)
+        active = np.zeros((n, k_true), bool)
+        for k in range(k_true):
+            active[k * 100:(k + 1) * 100, k] = True
+        Z = np.where(active, Z + 2.0, 0.0).astype(np.float32)
+        W1 = rng.normal(size=(60, k_true)).astype(np.float32)
+        W2 = rng.normal(size=(40, k_true)).astype(np.float32)
+        Y1 = Z @ W1.T + 0.2 * rng.normal(size=(n, 60)).astype(np.float32)
+        Y2 = Z @ W2.T + 0.2 * rng.normal(size=(n, 40)).astype(np.float32)
+        res = fit_mofa(
+            [Y1, Y2],
+            MOFAConfig(n_factors=5, seed=1, spikeslab_factors=True,
+                       ard_factors=True),
+            n_iterations=500, svi_mode=True, svi_batch_fraction=0.5,
+        )
+        Zi = res.Z - res.Z.mean(0)
+        for k in range(k_true):
+            zt = Z[:, k] - Z[:, k].mean()
+            beta, *_ = np.linalg.lstsq(Zi, zt, rcond=None)
+            r2 = 1 - ((zt - Zi @ beta) ** 2).sum() / (zt**2).sum()
+            assert r2 > 0.9, (k, r2)
