@@ -22,6 +22,10 @@ import os
 import sys
 import time
 
+# persistent XLA compile cache: makes cold driver runs warm-start (the
+# in-process warm-up below already amortizes compiles within one run)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+
 import numpy as np
 from scipy import sparse as sp
 
