@@ -95,7 +95,12 @@ def single_neighbors(
     ``obsp["distances"]/["connectivities"]`` and ``uns["neighbors"]`` with
     the params-in-uns convention WNN re-reads (SURVEY §5 observability)."""
     rep = choose_representation(adata, use_rep=use_rep, n_pcs=n_pcs)
-    idx, dists = knn(rep, n_neighbors - 1, metric=metric)
+    # large inputs use the approximate kNN path (bf16 cross-terms +
+    # hardware approx top-k, recall ~0.997) — the reference's neighbors
+    # are approximate as well (pynndescent NN-descent)
+    idx, dists = knn(
+        rep, n_neighbors - 1, metric=metric, approx=rep.shape[0] > 20000
+    )
     idx = np.asarray(idx)
     dists = np.asarray(dists, dtype=np.float64)
 
