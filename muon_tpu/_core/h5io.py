@@ -37,8 +37,30 @@ def _set_enc(obj, enc_type, version="0.2.0"):
 # ---------------------------------------------------------------------------
 
 
+def _write_rec_array(group, key, value, compression=None):
+    """Structured/record arrays (scanpy's rank_genes_groups convention) as
+    HDF5 compound datasets, anndata 'rec-array' encoding; object/unicode
+    fields become vlen UTF-8 strings."""
+    new_dtype = [
+        (name, _STR if value.dtype[name].kind in ("O", "U", "S") else value.dtype[name])
+        for name in value.dtype.names
+    ]
+    arr = np.empty(value.shape, dtype=new_dtype)
+    for name in value.dtype.names:
+        col = value[name]
+        if value.dtype[name].kind in ("O", "U", "S"):
+            col = np.array([_decode(x) if isinstance(x, bytes) else str(x)
+                            for x in np.ravel(col)], dtype=object).reshape(col.shape)
+        arr[name] = col
+    ds = group.create_dataset(key, data=arr, compression=compression)
+    _set_enc(ds, "rec-array", "0.2.0")
+    return ds
+
+
 def _write_array(group, key, value, compression=None):
     value = np.asarray(value)
+    if value.dtype.names is not None:
+        return _write_rec_array(group, key, value, compression)
     if value.dtype.kind in ("U", "O"):
         ds = group.create_dataset(key, data=value.astype(object), dtype=_STR,
                                   compression=compression)
@@ -169,6 +191,19 @@ def _read_elem(obj):
         val = obj[()]
         if enc == "string" or (np.isscalar(val) and isinstance(val, bytes)):
             return _decode(val)
+        if enc == "rec-array" or (
+            hasattr(val, "dtype") and val.dtype.names is not None
+        ):
+            cols, dtypes = [], []
+            for name in val.dtype.names:
+                c = val[name]
+                if c.dtype.kind in ("O", "S"):
+                    c = np.array(
+                        [_decode(x) for x in np.ravel(c)], dtype=object
+                    ).reshape(c.shape)
+                cols.append(c)
+                dtypes.append((name, c.dtype))
+            return np.rec.fromarrays(cols, dtype=dtypes)
         if enc == "string-array" or (
             hasattr(val, "dtype") and val.dtype.kind in ("O", "S")
         ):

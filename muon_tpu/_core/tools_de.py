@@ -136,18 +136,19 @@ def rank_genes_groups(
                     np.maximum(s2[ri] / max(nr, 1) - mr**2, 0) * nr / max(nr - 1, 1)
                 )
             if method == "t-test_overestim_var":
-                # scanpy's variant: use n1 in both variance denominators
-                denom = np.sqrt(v1 / n1 + vr / n1) + 1e-30
-                dof_n1 = n1
+                # scanpy's variant: the rest-group size is replaced by n1
+                # in BOTH the denominator and the Welch-Satterthwaite dof
+                # (scanpy passes ns_rest = ns_group; ADVICE r1 #4)
+                nr_eff = n1
             else:
-                denom = np.sqrt(v1 / n1 + vr / nr) + 1e-30
-                dof_n1 = n1
+                nr_eff = nr
+            denom = np.sqrt(v1 / n1 + vr / nr_eff) + 1e-30
             t = (m1 - mr) / denom
             # Welch-Satterthwaite dof
             with np.errstate(divide="ignore", invalid="ignore"):
-                dof = (v1 / dof_n1 + vr / nr) ** 2 / (
-                    (v1 / dof_n1) ** 2 / max(dof_n1 - 1, 1)
-                    + (vr / nr) ** 2 / max(nr - 1, 1)
+                dof = (v1 / n1 + vr / nr_eff) ** 2 / (
+                    (v1 / n1) ** 2 / max(n1 - 1, 1)
+                    + (vr / nr_eff) ** 2 / max(nr_eff - 1, 1)
                 )
             dof = np.nan_to_num(dof, nan=1.0)
             dof = np.maximum(dof, 1.0)

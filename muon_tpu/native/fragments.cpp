@@ -85,6 +85,7 @@ struct BgzfReader {
     if (bsize < 0) return false;
     // total block = 12 (gzip header) + xlen + cdata + 8 (CRC32 + ISIZE)
     int cdata_len = bsize - xlen - 20;
+    if (cdata_len < 0) return false;  // corrupt header (bsize too small)
     std::vector<uint8_t> cdata(cdata_len);
     if (fseeko(fp, coffset + 12 + xlen, SEEK_SET) != 0) return false;
     if (cdata_len > 0 && fread(cdata.data(), 1, cdata_len, fp) != (size_t)cdata_len)
@@ -93,6 +94,7 @@ struct BgzfReader {
     if (fread(tail, 1, 8, fp) != 8) return false;
     uint32_t isize =
         tail[4] | (tail[5] << 8) | (tail[6] << 16) | ((uint32_t)tail[7] << 24);
+    if (isize > 65536) return false;  // BGZF spec caps ISIZE at 64 KiB
 
     block.resize(isize);
     if (isize > 0) {
@@ -182,14 +184,26 @@ struct TabixIndex {
     while ((n = gzread(gz, tmp, sizeof(tmp))) > 0)
       buf.insert(buf.end(), tmp, tmp + n);
     gzclose(gz);
+    // file-supplied counts are untrusted: every read is bounds-checked
+    // against buf.size() so a truncated/corrupt .tbi fails cleanly instead
+    // of overreading the heap (ADVICE r1 #3)
     size_t p = 0;
-    auto rd32 = [&]() {
+    bool ok = true;
+    auto rd32 = [&]() -> int32_t {
+      if (p + 4 > buf.size()) {
+        ok = false;
+        return 0;
+      }
       int32_t v;
       memcpy(&v, buf.data() + p, 4);
       p += 4;
       return v;
     };
-    auto rd64 = [&]() {
+    auto rd64 = [&]() -> int64_t {
+      if (p + 8 > buf.size()) {
+        ok = false;
+        return 0;
+      }
       int64_t v;
       memcpy(&v, buf.data() + p, 8);
       p += 8;
@@ -205,6 +219,8 @@ struct TabixIndex {
     meta = rd32();
     skip = rd32();
     int32_t l_nm = rd32();
+    if (!ok || n_ref < 0 || l_nm < 0 || p + (size_t)l_nm > buf.size())
+      return false;
     size_t names_end = p + l_nm;
     while (p < names_end) {
       const char* s = (const char*)buf.data() + p;
@@ -216,9 +232,12 @@ struct TabixIndex {
     refs.resize(n_ref);
     for (int r = 0; r < n_ref; r++) {
       int32_t n_bin = rd32();
+      if (!ok || n_bin < 0) return false;
       for (int b = 0; b < n_bin; b++) {
         uint32_t bin = (uint32_t)rd32();
         int32_t n_chunk = rd32();
+        if (!ok || n_chunk < 0 || p + 16ull * (uint64_t)n_chunk > buf.size())
+          return false;
         auto& v = refs[r].bins[bin];
         v.reserve(n_chunk);
         for (int c = 0; c < n_chunk; c++) {
@@ -227,10 +246,12 @@ struct TabixIndex {
         }
       }
       int32_t n_intv = rd32();
+      if (!ok || n_intv < 0 || p + 8ull * (uint64_t)n_intv > buf.size())
+        return false;
       refs[r].linear.resize(n_intv);
       for (int i = 0; i < n_intv; i++) refs[r].linear[i] = rd64();
     }
-    return true;
+    return ok;
   }
 };
 

@@ -75,6 +75,7 @@ int multiplex_local_move(
         const double* dat = data_all + payload_off[l];
         for (int64_t p = indptr[i]; p < indptr[i + 1]; p++) {
           const int64_t j = idx[p];
+          if (j == i) continue;  // self-loop moves with the node
           if (restrict_grp && restrict_grp[j] != restrict_grp[i]) continue;
           const int64_t c = labels[j];
           if (!seen[c]) {

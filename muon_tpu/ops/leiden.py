@@ -21,11 +21,24 @@ __all__ = ["multiplex_leiden", "leiden_labels"]
 
 
 class _Layer:
-    def __init__(self, A: sp.csr_matrix, resolution: float, weight: float):
+    def __init__(
+        self,
+        A: sp.csr_matrix,
+        resolution: float,
+        weight: float,
+        drop_selfloops: bool = True,
+    ):
         A = A.tocsr().astype(np.float64)
         A = (A + A.T) / 2.0  # symmetrize
-        A.setdiag(0.0)
-        A.eliminate_zeros()
+        if drop_selfloops:
+            # only for INPUT graphs (kNN connectivities carry no diagonal
+            # anyway). Aggregated levels must keep self-loops: they hold the
+            # intra-community weight, and dropping them from deg/two_m would
+            # change the objective away from RB modularity of the original
+            # graph (ADVICE r1 #2). The local-move scans skip j == i, so a
+            # kept diagonal never contaminates the k_{i->comm} gathers.
+            A.setdiag(0.0)
+            A.eliminate_zeros()
         self.indptr = A.indptr
         self.indices = A.indices
         self.data = A.data
@@ -112,6 +125,8 @@ def _local_move_py(layers, labels, rng, max_passes=20, restrict=None):
             for li, L in enumerate(layers):
                 sl = slice(L.indptr[i], L.indptr[i + 1])
                 for j, w_ in zip(L.indices[sl], L.data[sl]):
+                    if j == i:  # self-loop moves with the node; not a link
+                        continue
                     if restrict is not None and restrict[j] != restrict[i]:
                         continue
                     key = labels[j]
@@ -166,7 +181,7 @@ def _aggregate(layers, labels):
     new_layers = []
     for L in layers:
         A2 = (P.T @ L.A @ P).tocsr()
-        new_layers.append(_Layer(A2, L.gamma, L.w))
+        new_layers.append(_Layer(A2, L.gamma, L.w, drop_selfloops=False))
     return new_layers
 
 

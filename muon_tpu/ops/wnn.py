@@ -253,15 +253,18 @@ def _theta_fn():
     jax, jnp = _jax()
 
     @jax.jit
-    def f(rep1, NI2, nnd1, sigma1):
+    def f(rep_full, rows1, NI2, nnd1, sigma1):
         """θ affinity (reference muon/_core/preproc.py:480-503):
-        r = mean of rep1 over mod2-neighbors; θ = exp(−max(‖x−r‖−nnd,0)/(σ−nnd))."""
+        r = mean of the FULL mod1 rep over mod2-neighbors (NI2 holds
+        mod1-local indices into rep_full; query rows are rep_full[rows1]);
+        θ = exp(−max(‖x−r‖−nnd,0)/(σ−nnd))."""
         valid = NI2 >= 0
         NI2s = jnp.where(valid, NI2, 0)
-        gathered = rep1[NI2s]  # (m, kk, d)
-        w = valid[..., None].astype(rep1.dtype)
+        gathered = rep_full[NI2s]  # (m, kk, d)
+        w = valid[..., None].astype(rep_full.dtype)
         r = (gathered * w).sum(1) / jnp.maximum(w.sum(1), 1.0)
-        dist = jnp.sqrt(jnp.maximum(((rep1 - r) ** 2).sum(-1), 0.0))
+        q = rep_full[rows1]
+        dist = jnp.sqrt(jnp.maximum(((q - r) ** 2).sum(-1), 0.0))
         return jnp.exp(-jnp.maximum(dist - nnd1, 0.0) / (sigma1 - nnd1))
 
     return f
@@ -476,8 +479,11 @@ def wnn_neighbors(
         )
         sigmas[mod1] = sig
 
+        # thetas/currtheta are indexed by mod1-LOCAL row (explicit rows1
+        # scatter, not prefix slicing) so partially-overlapping or permuted
+        # modalities stay aligned (ADVICE r1 #1)
         thetas = np.full((n_loc, max(n_mods - 1, 1)), -np.inf)
-        currtheta = None
+        currtheta = np.full(n_loc, -np.inf)
         lasti = 0
         for i2, mod2 in enumerate(modalities):
             # cells present in both modalities, in mod1-local order
@@ -499,21 +505,23 @@ def wnn_neighbors(
             NI2_m1 = np.where(NI2_sel >= 0, conv[np.where(NI2_sel >= 0, NI2_sel, 0)], -1)
             th = np.asarray(
                 _theta_fn()(
-                    jnp.asarray(rep[rows1]),
+                    jnp.asarray(rep),
+                    jnp.asarray(rows1.astype(np.int32)),
                     jnp.asarray(NI2_m1.astype(np.int32)),
                     jnp.asarray(nnd[rows1]),
                     jnp.asarray(sig[rows1]),
                 )
             )
             if i1 == i2:
-                currtheta = th
+                currtheta[rows1] = th
             else:
-                thetas[: len(th), lasti] = th
+                thetas[rows1, lasti] = th
                 lasti += 1
         own_rows_global = np.flatnonzero(present[mod1])
+        own_local = g2l[mod1][own_rows_global]
         if n_mods > 1:
-            ratios[own_rows_global, i1] = currtheta / (
-                np.max(thetas[: len(currtheta)], axis=1) + eps
+            ratios[own_rows_global, i1] = currtheta[own_local] / (
+                np.max(thetas[own_local], axis=1) + eps
             )
         else:
             ratios[own_rows_global, i1] = 0.0

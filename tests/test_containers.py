@@ -234,3 +234,26 @@ class TestUnsRoundtrip:
         assert str(pb["distance"].dtype) == "Int64"
         assert pd.isna(pb["distance"].iloc[0])
         assert pb["distance"].iloc[1] == 5
+
+    def test_uns_recarray_roundtrip(self, tmp_path):
+        """Structured record arrays (scanpy's rank_genes_groups layout,
+        reference muon/_atac/tools.py:371 delegates to it) survive h5ad
+        round-trips, including object-dtype name fields."""
+        rng = np.random.default_rng(0)
+        ad = mu.AnnData(
+            np.log1p(rng.poisson(2.0, size=(60, 20)).astype(np.float32))
+        )
+        ad.obs["grp"] = [str(i % 3) for i in range(60)]
+        mu.tl.rank_genes_groups(ad, "grp")
+        path = str(tmp_path / "de.h5ad")
+        ad.write(path)
+        back = mu.read_h5ad(path)
+        res, res2 = ad.uns["rank_genes_groups"], back.uns["rank_genes_groups"]
+        for field in ("names", "scores", "pvals", "pvals_adj"):
+            assert res2[field].dtype.names == res[field].dtype.names
+            for g in res[field].dtype.names:
+                a, b = res[field][g], res2[field][g]
+                if a.dtype.kind == "O":
+                    assert (a == b).all()
+                else:
+                    assert np.allclose(a.tolist(), b.tolist())

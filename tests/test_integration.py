@@ -92,14 +92,12 @@ def test_full_multiome_pipeline(multiome_h5, tmp_path):
     assert "rna:mod_weight" in mdata.obs.columns
 
     # --- multiplex clustering on the fused graph ---
-    # small dense kNN graph: resolution 1.0 under-partitions (true of
-    # RB-configuration leiden generally); 2.0 resolves the 3 groups
-    mu.tl.leiden(mdata, resolution=2.0)
+    mu.tl.leiden(mdata, resolution=1.0)
     from sklearn.metrics import adjusted_rand_score
 
     ari = adjusted_rand_score(labels, mdata.obs["leiden"].to_numpy())
     assert ari > 0.9, f"fused clustering ARI {ari}"
-    assert mdata.uns["leiden"]["params"]["resolution"] == 2.0
+    assert mdata.uns["leiden"]["params"]["resolution"] == 1.0
 
     # --- multimodal UMAP ---
     mu.tl.umap(mdata)
@@ -200,7 +198,7 @@ def test_citeseq_pipeline(tmp_path):
     single_neighbors(mdata.mod["rna"], n_neighbors=15, use_rep="X_pca")
     single_neighbors(mdata.mod["prot"], n_neighbors=15, use_rep="X_pca")
     mu.pp.neighbors(mdata)
-    mu.tl.leiden(mdata, resolution=2.0)
+    mu.tl.leiden(mdata, resolution=1.0)
     from sklearn.metrics import adjusted_rand_score
 
     ari = adjusted_rand_score(labels, mdata.obs["leiden"].to_numpy())

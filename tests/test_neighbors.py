@@ -150,6 +150,32 @@ class TestWNN:
             total += len(nbrs)
         assert same / total > 0.9
 
+    def test_wnn_permuted_modality_order(self):
+        """Regression (ADVICE r1 #1): θ gathers used prefix-sliced subset
+        indexing, which silently mis-aligned whenever a modality's obs
+        order differed from the global order. Weights must be invariant to
+        a permutation of one modality's rows."""
+        md, labels = self._make_mdata()
+        mu.pp.neighbors(md)
+        w_ref = md.obs["m1:mod_weight"].to_numpy()
+
+        # rebuild with m2's obs stored in a shuffled order
+        rng = np.random.default_rng(5)
+        perm = rng.permutation(md.n_obs)
+        m1 = md.mod["m1"].copy()
+        X2 = np.asarray(md.mod["m2"].X)[perm]
+        m2 = mu.AnnData(X2)
+        m1.obs_names = [f"cell{i}" for i in range(md.n_obs)]
+        m2.obs_names = [f"cell{perm[i]}" for i in range(md.n_obs)]
+        md2 = mu.MuData({"m1": m1, "m2": m2})
+        mu.pp.neighbors(md2.mod["m1"], n_neighbors=10)
+        mu.pp.neighbors(md2.mod["m2"], n_neighbors=10)
+        mu.pp.neighbors(md2)
+
+        w1 = md2.obs["m1:mod_weight"].to_numpy()
+        order = [list(md2.obs_names).index(f"cell{i}") for i in range(md.n_obs)]
+        assert np.allclose(w1[order], w_ref, atol=1e-3)
+
     def test_wnn_add_weights_to_modalities(self):
         md, _ = self._make_mdata()
         mu.pp.neighbors(md, add_weights_to_modalities=True)

@@ -64,6 +64,25 @@ class TestLeiden:
                      mod_weights={"m1": 1.0, "m2": 0.5}, random_state=1)
         assert "leiden" in md.obs.columns
 
+    def test_aggregated_levels_keep_rb_objective(self):
+        """Regression (ADVICE r1 #2): dropping self-loops on aggregated
+        levels made merges free — a planted 4-block SBM collapsed to ONE
+        community at resolution 1.0. With self-loops kept in deg/two_m the
+        multi-level objective stays RB modularity of the original graph
+        and the planted partition is recovered."""
+        from muon_tpu.ops.leiden import leiden_labels
+
+        rng = np.random.default_rng(0)
+        n_per, k = 60, 4
+        labels = np.repeat(np.arange(k), n_per)
+        P = np.where(labels[:, None] == labels[None, :], 0.3, 0.03)
+        A = (rng.random((k * n_per, k * n_per)) < P).astype(float)
+        A = np.triu(A, 1)
+        A = sp.csr_matrix(A + A.T)
+        got = leiden_labels(A, resolution=1.0, seed=0)
+        assert got.max() + 1 >= 3, "graph collapsed into too few communities"
+        assert ari(labels, got) > 0.95
+
     def test_resolution_effect(self, mdata_clusters):
         md, labels = mdata_clusters
         mu.tl.leiden(md, resolution=0.05, key_added="lo", random_state=1)
