@@ -21,6 +21,10 @@ from .aligned import AlignedDict
 
 __all__ = ["AnnData", "Raw", "concat_names"]
 
+# sentinel for lazily-materialized view slots ("not materialized yet",
+# distinct from None which is a legal X value)
+_UNSET = object()
+
 
 # ---------------------------------------------------------------------------
 # indexing helpers
@@ -208,9 +212,13 @@ class Raw:
 class FileManager:
     """Handle to the HDF5 file backing an AnnData (``.file`` attribute)."""
 
-    def __init__(self, filename=None, h5file=None):
+    def __init__(self, filename=None, h5file=None, shared=False):
         self.filename = str(filename) if filename is not None else None
         self._h5file = h5file
+        # shared=True: this handle is co-owned (h5mu modalities share the
+        # parent MuData's file) — close() only drops the reference so
+        # sibling modalities keep reading
+        self._shared = shared
 
     @property
     def is_open(self):
@@ -220,7 +228,7 @@ class FileManager:
             return False
 
     def close(self):
-        if self._h5file is not None:
+        if self._h5file is not None and not self._shared:
             try:
                 self._h5file.close()
             except Exception:
@@ -233,7 +241,12 @@ class FileManager:
 
 
 class BackedMatrix:
-    """Lazy view of an on-disk X (dense dataset or CSR group)."""
+    """Lazy view of an on-disk X (dense dataset or CSR group).
+
+    Row subsets are read selectively from disk (consecutive CSR rows are
+    coalesced into single HDF5 reads) so out-of-core workflows never
+    materialize the full matrix — the reference gets this from anndata
+    backed mode (muon/_core/preproc.py:655-668)."""
 
     def __init__(self, h5obj):
         self._h5 = h5obj
@@ -241,6 +254,7 @@ class BackedMatrix:
             self._sparse = True
             self.shape = tuple(int(x) for x in h5obj.attrs["shape"])
             self.dtype = h5obj["data"].dtype
+            self._indptr = None  # cached on first row read (n+1 int64)
         else:
             self._sparse = False
             self.shape = tuple(h5obj.shape)
@@ -258,8 +272,81 @@ class BackedMatrix:
             )
         return self._h5[...]
 
+    def _subset(self, oidx, vidx=None):
+        """Read only the requested rows from disk; columns subset in memory
+        afterwards (rows are the long axis: cells)."""
+        oidx = np.asarray(oidx, dtype=np.int64)
+        full_v = vidx is None or (
+            len(vidx) == self.shape[1]
+            and np.array_equal(vidx, np.arange(self.shape[1]))
+        )
+        if len(oidx) >= 0.5 * self.shape[0]:
+            M = self.to_memory()[oidx]
+            return M if full_v else M[:, vidx]
+        if not self._sparse:
+            uniq, inv = np.unique(oidx, return_inverse=True)
+            rows = np.asarray(self._h5[uniq.tolist(), :])
+            out = rows[inv]
+            return out if full_v else out[:, vidx]
+        if self._indptr is None:
+            self._indptr = self._h5["indptr"][...].astype(np.int64)
+        indptr = self._indptr
+        starts = indptr[oidx]
+        ends = indptr[oidx + 1]
+        counts = ends - starts
+        total = int(counts.sum())
+        data = np.empty(total, dtype=self._h5["data"].dtype)
+        indices = np.empty(total, dtype=np.int64)
+        d_ds, i_ds = self._h5["data"], self._h5["indices"]
+        out_off = 0
+        i = 0
+        m = len(oidx)
+        while i < m:
+            j = i  # coalesce runs of consecutive on-disk rows
+            while (
+                j + 1 < m
+                and oidx[j + 1] == oidx[j] + 1
+                and starts[j + 1] == ends[j]
+            ):
+                j += 1
+            s, e = int(starts[i]), int(ends[j])
+            if e > s:
+                data[out_off : out_off + (e - s)] = d_ds[s:e]
+                indices[out_off : out_off + (e - s)] = i_ds[s:e]
+                out_off += e - s
+            i = j + 1
+        new_indptr = np.concatenate(
+            [[0], np.cumsum(counts)]
+        ).astype(np.int64)
+        M = sp.csr_matrix(
+            (data, indices, new_indptr), shape=(m, self.shape[1])
+        )
+        return M if full_v else M[:, vidx]
+
     def __getitem__(self, idx):
-        return self.to_memory()[idx]
+        if isinstance(idx, tuple) and len(idx) == 2:
+            ridx, cidx = idx
+        else:
+            ridx, cidx = idx, None
+        if isinstance(ridx, slice):
+            rows = np.arange(self.shape[0])[ridx]
+        elif isinstance(ridx, (int, np.integer)):
+            rows = np.asarray([int(ridx)])
+        else:
+            rows = np.asarray(ridx)
+            if rows.dtype == bool:
+                rows = np.flatnonzero(rows)
+        if cidx is None or (isinstance(cidx, slice) and cidx == slice(None)):
+            cols = None
+        elif isinstance(cidx, slice):
+            cols = np.arange(self.shape[1])[cidx]
+        elif isinstance(cidx, (int, np.integer)):
+            cols = np.asarray([int(cidx)])
+        else:
+            cols = np.asarray(cidx)
+            if cols.dtype == bool:
+                cols = np.flatnonzero(cols)
+        return self._subset(rows, cols)
 
 
 # ---------------------------------------------------------------------------
@@ -348,15 +435,63 @@ class AnnData:
         self._layers = AlignedDict(self, (0, 1), layers, axis_name="obs x var")
         self._raw = raw
         self._is_view = False
+        self._view_of = None
         self.file = FileManager(filename)
+
+    # -- view machinery ------------------------------------------------------
+    def _materialize_X(self):
+        parent, oidx, vidx = self._view_of
+        pX = parent.X
+        if isinstance(pX, BackedMatrix):
+            self._X = pX._subset(oidx, vidx)
+        else:
+            self._X = _subset_matrix(pX, oidx, vidx)
+        return self._X
+
+    def _materialize_aligned(self, slot):
+        parent, oidx, vidx = self._view_of
+        if slot == "_obsm":
+            data = parent.obsm._subset(oidx)
+            out = AlignedDict(self, (0,), data, axis_name="obs")
+        elif slot == "_varm":
+            data = parent.varm._subset(vidx)
+            out = AlignedDict(self, (1,), data, axis_name="var")
+        elif slot == "_obsp":
+            data = parent.obsp._subset(oidx)
+            out = AlignedDict(self, (0, 0), data, axis_name="obs")
+        elif slot == "_varp":
+            data = parent.varp._subset(vidx)
+            out = AlignedDict(self, (1, 1), data, axis_name="var")
+        else:  # _layers
+            data = {
+                k: _subset_matrix(v, oidx, vidx)
+                for k, v in parent.layers.items()
+            }
+            out = AlignedDict(self, (0, 1), data, axis_name="obs x var")
+        setattr(self, slot, out)
+        return out
+
+    def _ensure_actual(self):
+        """Copy-on-write: materialize every lazy slot and detach from the
+        parent (anndata's view→actual semantics on mutation)."""
+        if self._view_of is None:
+            return
+        _ = (self.X, self.layers, self.obsm, self.varm, self.obsp,
+             self.varp, self.raw)
+        self._view_of = None
+        self._is_view = False
 
     # -- core dims ---------------------------------------------------------
     @property
     def X(self):
+        if self._X is _UNSET:
+            return self._materialize_X()
         return self._X
 
     @X.setter
     def X(self, value):
+        if self._view_of is not None:
+            self._ensure_actual()
         if value is not None and value.shape != self.shape:
             # allow replacing X entirely only if obs/var still match
             if value.shape[0] != self.n_obs or value.shape[1] != self.n_vars:
@@ -424,6 +559,8 @@ class AnnData:
 
     @property
     def obsm(self):
+        if self._obsm is None:
+            return self._materialize_aligned("_obsm")
         return self._obsm
 
     @obsm.setter
@@ -432,6 +569,8 @@ class AnnData:
 
     @property
     def varm(self):
+        if self._varm is None:
+            return self._materialize_aligned("_varm")
         return self._varm
 
     @varm.setter
@@ -440,6 +579,8 @@ class AnnData:
 
     @property
     def obsp(self):
+        if self._obsp is None:
+            return self._materialize_aligned("_obsp")
         return self._obsp
 
     @obsp.setter
@@ -448,6 +589,8 @@ class AnnData:
 
     @property
     def varp(self):
+        if self._varp is None:
+            return self._materialize_aligned("_varp")
         return self._varp
 
     @varp.setter
@@ -456,6 +599,8 @@ class AnnData:
 
     @property
     def layers(self):
+        if self._layers is None:
+            return self._materialize_aligned("_layers")
         return self._layers
 
     @layers.setter
@@ -464,6 +609,11 @@ class AnnData:
 
     @property
     def raw(self):
+        if self._raw is _UNSET:
+            parent, oidx, _ = self._view_of
+            self._raw = (
+                parent.raw._subset_obs(oidx) if parent.raw is not None else None
+            )
         return self._raw
 
     @raw.setter
@@ -505,91 +655,97 @@ class AnnData:
         return self._view(oidx, vidx)
 
     def _view(self, oidx, vidx):
-        X = self._X
-        if isinstance(X, BackedMatrix):
-            X = X.to_memory()
-        full_o = len(oidx) == self.n_obs and np.array_equal(oidx, np.arange(self.n_obs))
-        full_v = len(vidx) == self.n_vars and np.array_equal(vidx, np.arange(self.n_vars))
-        new = AnnData(
-            X=_subset_matrix(X, None if full_o else oidx, None if full_v else vidx),
-            obs=_remove_unused_categories(self._obs.iloc[oidx].copy()),
-            var=_remove_unused_categories(self._var.iloc[vidx].copy()),
-            uns=dict(self._uns),
-            obsm=self._obsm._subset(oidx),
-            varm=self._varm._subset(vidx),
-            obsp=self._obsp._subset(oidx),
-            varp=self._varp._subset(vidx),
-            layers={k: _subset_matrix(v, None if full_o else oidx,
-                                      None if full_v else vidx)
-                    for k, v in self._layers.items()},
-            shape=(len(oidx), len(vidx)),
-        )
-        if self._raw is not None:
-            new._raw = self._raw._subset_obs(oidx)
+        """Lazy view: O(metadata) at creation. Matrix-sized attributes
+        (X, layers, obsm/varm/obsp/varp, raw) are materialized on first
+        access; mutation of X triggers copy-on-write (``_ensure_actual``).
+        Reference contract: anndata lightweight views, relied on by
+        muon/_core/preproc.py:687-689 (view-raise on filter) and
+        cross-modality slicing (DESIGN.md "Container's views")."""
+        new = AnnData.__new__(AnnData)
+        new._view_of = (self, np.asarray(oidx), np.asarray(vidx))
         new._is_view = True
+        new._obs = _remove_unused_categories(self._obs.iloc[oidx].copy())
+        new._var = _remove_unused_categories(self._var.iloc[vidx].copy())
+        new._uns = dict(self._uns)
+        new._X = _UNSET
+        new._obsm = None
+        new._varm = None
+        new._obsp = None
+        new._varp = None
+        new._layers = None
+        new._raw = _UNSET
+        new.file = FileManager(None)
         return new
 
     def copy(self):
+        X = self.X  # materializes the subset if self is a lazy view
+        if isinstance(X, BackedMatrix):
+            X = X.to_memory()
+        elif X is not None:
+            X = X.copy()
         new = AnnData(
-            X=self._X.copy() if self._X is not None and not isinstance(self._X, BackedMatrix)
-            else (self._X.to_memory() if isinstance(self._X, BackedMatrix) else None),
+            X=X,
             obs=self._obs.copy(),
             var=self._var.copy(),
             uns=_deepcopy_uns(self._uns),
-            obsm=self._obsm.copy(),
-            varm=self._varm.copy(),
-            obsp=self._obsp.copy(),
-            varp=self._varp.copy(),
-            layers=self._layers.copy(),
+            obsm=self.obsm.copy(),
+            varm=self.varm.copy(),
+            obsp=self.obsp.copy(),
+            varp=self.varp.copy(),
+            layers=self.layers.copy(),
             shape=self.shape,
         )
-        if self._raw is not None:
-            new._raw = self._raw.copy()
+        if self.raw is not None:
+            new._raw = self.raw.copy()
         return new
 
     # -- mutation ------------------------------------------------------------
     def _inplace_subset_obs(self, idx):
         """Subset observations in place (anndata parity; the reference's
-        in-place filter spec is muon/_core/preproc.py:748-799)."""
+        in-place filter spec is muon/_core/preproc.py:748-799). On a backed
+        object this warns then loads — but only the KEPT rows are read from
+        disk (BackedMatrix._subset), never the full matrix."""
         oidx = _normalize_index(idx, self.obs_names, self.n_obs)
-        if self.isbacked:
+        backed = self.isbacked
+        if backed:
             warnings.warn(
                 "AnnData object is backed. The requested subset of the matrix "
                 "X will be read into memory, and the file reference dropped.",
                 UserWarning,
             )
-            if isinstance(self._X, BackedMatrix):
-                self._X = self._X.to_memory()
-            self.file._to_memory_mode()
         sub = self._view(oidx, np.arange(self.n_vars))
-        self._assign_from(sub)
+        self._assign_from(sub)  # materializes via row-selective disk reads
+        if backed:
+            self.file._to_memory_mode()
 
     def _inplace_subset_var(self, idx):
         vidx = _normalize_index(idx, self.var_names, self.n_vars)
-        if self.isbacked:
+        backed = self.isbacked
+        if backed:
             warnings.warn(
                 "AnnData object is backed. The requested subset of the matrix "
                 "X will be read into memory, and the file reference dropped.",
                 UserWarning,
             )
-            if isinstance(self._X, BackedMatrix):
-                self._X = self._X.to_memory()
-            self.file._to_memory_mode()
         sub = self._view(np.arange(self.n_obs), vidx)
         self._assign_from(sub)
+        if backed:
+            self.file._to_memory_mode()
 
     def _assign_from(self, other: "AnnData"):
+        other_X = other.X  # materialize first if `other` is a lazy view
         self._obs = other._obs
         self._var = other._var
-        self._X = other._X
+        self._X = other_X
         self._uns = other._uns
-        self._obsm = AlignedDict(self, (0,), dict(other._obsm), axis_name="obs")
-        self._varm = AlignedDict(self, (1,), dict(other._varm), axis_name="var")
-        self._obsp = AlignedDict(self, (0, 0), dict(other._obsp), axis_name="obs")
-        self._varp = AlignedDict(self, (1, 1), dict(other._varp), axis_name="var")
-        self._layers = AlignedDict(self, (0, 1), dict(other._layers), axis_name="obs x var")
-        self._raw = other._raw
+        self._obsm = AlignedDict(self, (0,), dict(other.obsm), axis_name="obs")
+        self._varm = AlignedDict(self, (1,), dict(other.varm), axis_name="var")
+        self._obsp = AlignedDict(self, (0, 0), dict(other.obsp), axis_name="obs")
+        self._varp = AlignedDict(self, (1, 1), dict(other.varp), axis_name="var")
+        self._layers = AlignedDict(self, (0, 1), dict(other.layers), axis_name="obs x var")
+        self._raw = other.raw
         self._is_view = False
+        self._view_of = None
 
     # -- accessors -------------------------------------------------------
     def obs_vector(self, key, layer=None):
@@ -600,7 +756,7 @@ class AnnData:
             j = self.var_names.get_loc(key)
             if isinstance(j, (slice, np.ndarray)):
                 j = np.arange(self.n_vars)[j][0]
-            M = self._layers[layer] if layer is not None else self._X
+            M = self.layers[layer] if layer is not None else self.X
             col = M[:, j]
             if sp.issparse(col):
                 col = np.asarray(col.todense()).ravel()
@@ -614,7 +770,7 @@ class AnnData:
             return self._var[key].to_numpy()
         if key in self.obs_names:
             i = self.obs_names.get_loc(key)
-            M = self._layers[layer] if layer is not None else self._X
+            M = self.layers[layer] if layer is not None else self.X
             row = M[i]
             if sp.issparse(row):
                 row = np.asarray(row.todense()).ravel()
@@ -624,7 +780,7 @@ class AnnData:
         raise KeyError(key)
 
     def to_df(self, layer=None):
-        M = self._layers[layer] if layer is not None else self._X
+        M = self.layers[layer] if layer is not None else self.X
         if sp.issparse(M):
             M = np.asarray(M.todense())
         return pd.DataFrame(M, index=self.obs_names, columns=self.var_names)
@@ -636,7 +792,9 @@ class AnnData:
         self._obs.index = concat_names([self._obs.index], make_unique=True)
 
     def transpose(self):
-        X = self._X
+        X = self.X
+        if isinstance(X, BackedMatrix):
+            X = X.to_memory()
         if X is not None:
             X = X.T
             if sp.issparse(X):
@@ -644,9 +802,9 @@ class AnnData:
         return AnnData(
             X=X, obs=self._var.copy(), var=self._obs.copy(),
             uns=dict(self._uns),
-            obsm=self._varm.copy(), varm=self._obsm.copy(),
-            obsp=self._varp.copy(), varp=self._obsp.copy(),
-            layers={k: v.T for k, v in self._layers.items()},
+            obsm=self.varm.copy(), varm=self.obsm.copy(),
+            obsp=self.varp.copy(), varp=self.obsp.copy(),
+            layers={k: v.T for k, v in self.layers.items()},
             shape=(self.n_vars, self.n_obs),
         )
 
@@ -671,15 +829,34 @@ class AnnData:
             if len(cols):
                 descr += f"\n    {attr}: {', '.join(map(repr, cols))}"
         for attr in ("uns", "obsm", "varm", "layers", "obsp", "varp"):
-            keys = list(getattr(self, attr).keys())
+            # repr must not force materialization of a lazy view: peek the
+            # parent's keys instead (subset keys are identical)
+            slot = getattr(self, f"_{attr}", None) if attr != "uns" else self._uns
+            if slot is None and self._view_of is not None:
+                slot = getattr(self._view_of[0], attr)
+            keys = list(slot.keys()) if slot is not None else []
             if keys:
                 descr += f"\n    {attr}: {', '.join(map(repr, keys))}"
         return descr
 
 
 def _deepcopy_uns(d):
+    """Deep-copy an uns tree. Walks dicts/lists/tuples; copies arrays,
+    sparse matrices and pandas objects; falls back to copy.deepcopy so
+    nested non-dict containers never stay shared between a copy and its
+    parent (a list of DataFrames previously leaked via list.copy())."""
     if isinstance(d, dict):
         return {k: _deepcopy_uns(v) for k, v in d.items()}
-    if hasattr(d, "copy"):
+    if isinstance(d, (list, tuple)):
+        return type(d)(_deepcopy_uns(v) for v in d)
+    if isinstance(d, (np.ndarray, pd.DataFrame, pd.Series, pd.Index,
+                      pd.Categorical)) or sp.issparse(d):
         return d.copy()
-    return d
+    if isinstance(d, (str, bytes, int, float, bool, type(None))):
+        return d
+    import copy as _copy
+
+    try:
+        return _copy.deepcopy(d)
+    except Exception:
+        return d

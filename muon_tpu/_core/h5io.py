@@ -342,38 +342,55 @@ def write_h5mu(filename, mdata: MuData, compression=None):
 
 
 def read_h5mu(filename, backed=None) -> MuData:
-    with h5py.File(filename, "r") as f:
-        mod_g = f["mod"]
-        order = [_decode(m) for m in mod_g.attrs.get("mod-order", list(mod_g))]
-        order = [m for m in order if m in mod_g]
-        for m in mod_g:
-            if m not in order:
-                order.append(m)
-        mods = {m: _read_adata_group(mod_g[m]) for m in order}
-        axis = int(f.attrs.get("axis", 0))
-        mdata = MuData(mods, axis=axis)
-        if "obs" in f:
-            obs = _read_elem(f["obs"])
-            mdata._obs = obs
-        if "var" in f:
-            mdata._var = _read_elem(f["var"])
-        mdata.update()
-        for attr in ("obsm", "varm"):
-            if attr in f:
-                for k, v in _read_elem(f[attr]).items():
-                    if k in mdata.mod:
-                        continue
-                    try:
-                        getattr(mdata, attr)[k] = v
-                    except ValueError:
-                        pass
-        for attr in ("obsp", "varp"):
-            if attr in f:
-                for k, v in _read_elem(f[attr]).items():
-                    try:
-                        getattr(mdata, attr)[k] = v
-                    except ValueError:
-                        pass
-        if "uns" in f:
-            mdata._uns = _read_elem(f["uns"])
+    """Read an .h5mu file. With ``backed`` truthy ("r" or True), each
+    modality's X stays on disk as a :class:`BackedMatrix` (row-selective
+    reads); everything else is loaded (reference: anndata/mudata backed
+    mode, muon/_core/preproc.py:655-668)."""
+    if backed:
+        f = h5py.File(filename, "r")
+        mdata = _read_h5mu_open(f, backed=True)
+        mdata.file._h5file = f
+        mdata.file.filename = str(filename)
+        for ad in mdata.mod.values():
+            ad.file._h5file = f
+            ad.file.filename = str(filename)
+            ad.file._shared = True  # the MuData owns the handle
         return mdata
+    with h5py.File(filename, "r") as f:
+        return _read_h5mu_open(f, backed=False)
+
+
+def _read_h5mu_open(f, backed=False) -> MuData:
+    mod_g = f["mod"]
+    order = [_decode(m) for m in mod_g.attrs.get("mod-order", list(mod_g))]
+    order = [m for m in order if m in mod_g]
+    for m in mod_g:
+        if m not in order:
+            order.append(m)
+    mods = {m: _read_adata_group(mod_g[m], backed=backed) for m in order}
+    axis = int(f.attrs.get("axis", 0))
+    mdata = MuData(mods, axis=axis)
+    if "obs" in f:
+        mdata._obs = _read_elem(f["obs"])
+    if "var" in f:
+        mdata._var = _read_elem(f["var"])
+    mdata.update()
+    for attr in ("obsm", "varm"):
+        if attr in f:
+            for k, v in _read_elem(f[attr]).items():
+                if k in mdata.mod:
+                    continue
+                try:
+                    getattr(mdata, attr)[k] = v
+                except ValueError:
+                    pass
+    for attr in ("obsp", "varp"):
+        if attr in f:
+            for k, v in _read_elem(f[attr]).items():
+                try:
+                    getattr(mdata, attr)[k] = v
+                except ValueError:
+                    pass
+    if "uns" in f:
+        mdata._uns = _read_elem(f["uns"])
+    return mdata

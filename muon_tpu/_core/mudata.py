@@ -17,7 +17,13 @@ import numpy as np
 import pandas as pd
 
 from .aligned import AlignedDict
-from .anndata import AnnData, FileManager, _normalize_index, concat_names
+from .anndata import (
+    AnnData,
+    FileManager,
+    _deepcopy_uns as _deepcopy,
+    _normalize_index,
+    concat_names,
+)
 
 __all__ = ["MuData"]
 
@@ -425,9 +431,3 @@ class MuData:
         return descr
 
 
-def _deepcopy(d):
-    if isinstance(d, dict):
-        return {k: _deepcopy(v) for k, v in d.items()}
-    if hasattr(d, "copy"):
-        return d.copy()
-    return d

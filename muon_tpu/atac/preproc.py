@@ -67,7 +67,23 @@ def tfidf(
     if to_layer is not None and to_layer in adata.layers:
         warn(f"Existing layer '{to_layer}' will be overwritten")
 
-    if issparse(counts):
+    from .._core.anndata import BackedMatrix
+
+    if isinstance(counts, BackedMatrix) and getattr(counts, "_sparse", False):
+        # out-of-core path: stream blocks from disk to device, keep the
+        # transformed values device-resident and the structure on disk —
+        # the full matrix never resides in host memory
+        from ..ops import sparse as dsp
+
+        dX = dsp.from_backed(counts)
+        new_data = dsp.tfidf_data(
+            dX, log_tf=log_tf, log_idf=log_idf, log_tfidf=log_tfidf,
+            scale_factor=scale_factor,
+        )
+        res = dsp.DeviceBackedCSR(
+            counts._h5, dX._replace(data=new_data), counts.shape, dX.nnz
+        )
+    elif issparse(counts):
         from ..ops import sparse as dsp
 
         X = counts.tocsr()

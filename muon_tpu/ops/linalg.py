@@ -96,7 +96,14 @@ def randomized_svd(
     jit-compiled XLA program — per-op eager dispatch over a remote device
     link would otherwise dominate the wall time."""
     jax, jnp = _jax()
-    if sp.issparse(X):
+    tag = getattr(X, "_muon_tpu_device", None)
+    if tag is not None and not sp.issparse(X):
+        X = tag[0]  # DeviceBackedCSR etc. — values already on device
+    elif hasattr(X, "_h5") and getattr(X, "_sparse", False):
+        from .sparse import from_backed
+
+        X = from_backed(X)  # on-disk CSR: blockwise streamed ingest
+    elif sp.issparse(X):
         X = from_scipy(X)
 
     if isinstance(X, DeviceCOO):

@@ -27,7 +27,9 @@ from scipy import sparse as sp
 
 __all__ = [
     "DeviceCOO",
+    "DeviceBackedCSR",
     "from_scipy",
+    "from_backed",
     "to_scipy_data",
     "row_sums",
     "col_sums",
@@ -196,6 +198,235 @@ def from_scipy(X, pad_multiple: int = 8192, dtype=None) -> DeviceCOO:
     # many times — build it explicitly with with_col_perm() if needed
     return DeviceCOO(data_j, row_j, col_j, None, n, d, nnz)
 
+
+@lru_cache(maxsize=None)
+def _ingest_block_fn():
+    jax, jnp = _jax()
+
+    @partial(
+        jax.jit,
+        static_argnames=("n", "d", "R", "col16"),
+        donate_argnums=(0, 1, 2),
+    )
+    def f(buf_data, buf_row, buf_col, wire_val, wire_col, bounds, bn, r0,
+          offset, n, d, R, col16):
+        """Decode one row-block (cast values, derive row ids from local
+        boundaries) and splice it into the device buffers at `offset`.
+        Invalid tail entries become neutral (data 0, row n, col d) so the
+        splice never needs a fixup pass."""
+        cap = wire_val.shape[0]
+        data_b = wire_val.astype(buf_data.dtype)
+        col_b = wire_col.astype(jnp.int32)
+        if col16:
+            col_b = jnp.where(col_b < 0, d, col_b)
+        pos = jnp.arange(cap, dtype=jnp.int32)
+        bumps = jax.ops.segment_sum(
+            jnp.ones((R,), jnp.int32), jnp.minimum(bounds, cap),
+            num_segments=cap + 1,
+        )[:cap]
+        row_b = jnp.cumsum(bumps).astype(jnp.int32) + r0
+        valid = pos < bn
+        row_b = jnp.where(valid, jnp.minimum(row_b, n - 1), n)
+        col_b = jnp.where(valid, col_b, d)
+        data_b = jnp.where(valid, data_b, 0)
+        buf_data = jax.lax.dynamic_update_slice(buf_data, data_b, (offset,))
+        buf_row = jax.lax.dynamic_update_slice(buf_row, row_b, (offset,))
+        buf_col = jax.lax.dynamic_update_slice(buf_col, col_b, (offset,))
+        return buf_data, buf_row, buf_col
+
+    return f
+
+
+def from_backed(
+    bm, pad_multiple: int = 8192, block_nnz: int = 16 << 20, dtype=None
+) -> DeviceCOO:
+    """Stream an on-disk CSR (:class:`BackedMatrix` over an h5 group) into
+    padded device COO **block by block** — host residency is bounded by
+    one block (≈``block_nnz`` entries), never the full matrix. This is the
+    out-of-core ingest path for BASELINE config 5 (1M cells × 3 mods); the
+    reference's analogue is anndata backed mode + tabix streaming
+    (muon/_core/preproc.py:655-668, SURVEY §5 long-axis streaming)."""
+    jax, jnp = _jax()
+    cached = getattr(bm, "_muon_tpu_device", None)
+    if cached is not None and cached[0].shape == tuple(bm.shape):
+        return cached[0]
+    h5 = bm._h5
+    if not getattr(bm, "_sparse", False):
+        raise TypeError("from_backed expects a sparse (CSR group) BackedMatrix")
+    n, d = bm.shape
+    if dtype is None:
+        dtype = np.float32
+    indptr = h5["indptr"][...].astype(np.int64)
+    nnz = int(indptr[-1])
+
+    # row blocks targeting ~block_nnz entries; all padded to one capacity
+    # so the ingest kernel compiles once
+    blocks = []
+    r0 = 0
+    while r0 < n:
+        r1 = int(np.searchsorted(indptr, indptr[r0] + block_nnz, side="left"))
+        r1 = max(r1, r0 + 1)
+        r1 = min(r1, n)
+        blocks.append((r0, r1))
+        r0 = r1
+    if not blocks:
+        blocks = [(0, 0)]
+    cap = max(
+        (int(indptr[r1] - indptr[r0]) for r0, r1 in blocks), default=0
+    )
+    cap = max(pad_multiple, -(-cap // pad_multiple) * pad_multiple)
+    R = max(r1 - r0 for r0, r1 in blocks)
+
+    pad_alloc = max(
+        pad_multiple, -(-(nnz + cap) // pad_multiple) * pad_multiple
+    )
+    buf_data = jnp.zeros((pad_alloc,), dtype)
+    buf_row = jnp.full((pad_alloc,), n, jnp.int32)
+    buf_col = jnp.full((pad_alloc,), d, jnp.int32)
+
+    col16 = d < np.iinfo(np.int16).max
+    d_ds, i_ds = h5["data"], h5["indices"]
+    ingest = _ingest_block_fn()
+    offset = 0
+    for r0, r1 in blocks:
+        s, e = int(indptr[r0]), int(indptr[r1])
+        bn = e - s
+        d_np = np.asarray(d_ds[s:e])
+        i_np = np.asarray(i_ds[s:e])
+        # narrow the value wire format when the block is small-int
+        wire_val = None
+        if d_np.dtype.kind in "iu" or (
+            bn > 0 and float(d_np.min(initial=0)) >= 0
+        ):
+            dmax = d_np.max(initial=0)
+            for wt, lim in ((np.uint8, 255), (np.uint16, 65535)):
+                if dmax < lim:
+                    v = d_np.astype(wt)
+                    if d_np.dtype.kind in "iu" or np.array_equal(
+                        v.astype(d_np.dtype), d_np
+                    ):
+                        wire_val = np.zeros(cap, wt)
+                        wire_val[:bn] = v
+                    break
+        if wire_val is None:
+            wire_val = np.zeros(cap, dtype)
+            wire_val[:bn] = d_np
+        if col16:
+            wire_col = np.full(cap, -1, np.int16)
+        else:
+            wire_col = np.full(cap, d, np.int32)
+        wire_col[:bn] = i_np
+        # local row boundaries of rows r0+1..r1, padded by repeating bn
+        bounds = np.full(R, bn, np.int32)
+        bounds[: r1 - r0] = (indptr[r0 + 1 : r1 + 1] - indptr[r0]).astype(
+            np.int32
+        )
+        buf_data, buf_row, buf_col = ingest(
+            buf_data, buf_row, buf_col,
+            jnp.asarray(wire_val), jnp.asarray(wire_col),
+            jnp.asarray(bounds),
+            jnp.asarray(bn, jnp.int32), jnp.asarray(r0, jnp.int32),
+            jnp.asarray(offset, jnp.int32),
+            n, d, R, col16,
+        )
+        offset += bn
+
+    out = DeviceCOO(buf_data, buf_row, buf_col, None, n, d, nnz)
+    try:
+        bm._muon_tpu_device = (out, None)
+    except Exception:
+        pass
+    return out
+
+
+def _backed_matrix_cls():
+    from .._core.anndata import BackedMatrix
+
+    return BackedMatrix
+
+
+class DeviceBackedCSR(_backed_matrix_cls()):
+    """Sparse matrix whose STRUCTURE lives on disk (HDF5 CSR group) and
+    whose VALUES live on device — the output of structure-preserving
+    transforms (TF-IDF, binarize) applied to backed matrices. Downstream
+    device ops re-enter through the ``_muon_tpu_device`` tag with zero
+    host residency; host access (``to_memory``/slicing) reads structure
+    from disk and downloads only the needed values. Subclasses
+    :class:`BackedMatrix` so container code paths treat it uniformly."""
+
+    def __init__(self, h5group, dcoo: DeviceCOO, shape, nnz):
+        self._h5 = h5group
+        self.shape = tuple(shape)
+        self.nnz = int(nnz)
+        self.dtype = np.dtype(np.float32)
+        self._sparse = True
+        self._muon_tpu_device = (dcoo, None)
+        self._indptr = None
+
+    @property
+    def ndim(self):
+        return 2
+
+    def to_memory(self) -> sp.csr_matrix:
+        jax, jnp = _jax()
+        vals = np.asarray(self._muon_tpu_device[0].data)[: self.nnz]
+        return sp.csr_matrix(
+            (vals, self._h5["indices"][...], self._h5["indptr"][...]),
+            shape=self.shape,
+        )
+
+    def _subset(self, oidx, vidx=None):
+        jax, jnp = _jax()
+        oidx = np.asarray(oidx, dtype=np.int64)
+        if len(oidx) >= 0.5 * self.shape[0]:
+            M = self.to_memory()[oidx]
+        else:
+            if self._indptr is None:
+                self._indptr = self._h5["indptr"][...].astype(np.int64)
+            indptr = self._indptr
+            starts, ends = indptr[oidx], indptr[oidx + 1]
+            counts = ends - starts
+            total = int(counts.sum())
+            if total:
+                pos = np.concatenate(
+                    [np.arange(s, e) for s, e in zip(starts, ends)]
+                )
+                # one device gather + one d2h instead of many tiny reads
+                vals = np.asarray(
+                    self._muon_tpu_device[0].data[jnp.asarray(pos)]
+                )
+                i_ds = self._h5["indices"]
+                idx = np.empty(total, dtype=np.int64)
+                out_off = 0
+                i = 0
+                m = len(oidx)
+                while i < m:
+                    j = i
+                    while (
+                        j + 1 < m
+                        and oidx[j + 1] == oidx[j] + 1
+                        and starts[j + 1] == ends[j]
+                    ):
+                        j += 1
+                    s, e = int(starts[i]), int(ends[j])
+                    if e > s:
+                        idx[out_off : out_off + (e - s)] = i_ds[s:e]
+                        out_off += e - s
+                    i = j + 1
+            else:
+                vals = np.empty(0, np.float32)
+                idx = np.empty(0, np.int64)
+            new_indptr = np.concatenate([[0], np.cumsum(counts)]).astype(
+                np.int64
+            )
+            M = sp.csr_matrix(
+                (vals, idx, new_indptr), shape=(len(oidx), self.shape[1])
+            )
+        full_v = vidx is None or (
+            len(vidx) == self.shape[1]
+            and np.array_equal(vidx, np.arange(self.shape[1]))
+        )
+        return M if full_v else M[:, vidx]
 
 def with_col_perm(X: DeviceCOO) -> DeviceCOO:
     """Materialize the by-column permutation (sorted transposed products)."""
