@@ -278,23 +278,44 @@ class MuData:
 
     # -- pull/push ------------------------------------------------------------
     def pull_obs(self, columns=None, mods=None, common=None, prefix_unique=True):
-        """Copy per-modality ``.obs`` columns into the global ``.obs``.
+        """Copy per-modality ``.obs`` columns into the global ``.obs``
+        (mudata ``pull_obs`` parity; exercised by the reference at
+        tests/test_muon_preproc.py:101,205).
 
-        Columns get a ``mod:column`` name; columns present in *all*
-        modalities are additionally merged into an unprefixed column when
-        their values agree on shared observations (mudata `pull_obs` parity;
-        exercised by the reference at tests/test_muon_preproc.py:101,205).
+        - columns present in ALL modalities (``common``, default True) are
+          merged into ONE unprefixed column (later modalities fill
+          remaining/overlapping positions);
+        - columns present in exactly one modality get a ``mod:column`` name
+          when ``prefix_unique`` (default), an unprefixed name otherwise;
+        - columns shared by some-but-not-all modalities are always
+          prefixed ``mod:column``.
         """
-        self._pull("obs", columns=columns, mods=mods)
+        self._pull("obs", columns=columns, mods=mods, common=common,
+                   prefix_unique=prefix_unique)
 
     def pull_var(self, columns=None, mods=None, common=None, prefix_unique=True):
-        self._pull("var", columns=columns, mods=mods)
+        self._pull("var", columns=columns, mods=mods, common=common,
+                   prefix_unique=prefix_unique)
 
-    def _pull(self, attr, columns=None, mods=None):
-        names_attr = f"{attr}_names"
+    def _pull(self, attr, columns=None, mods=None, common=None,
+              prefix_unique=True):
+        if isinstance(columns, str):
+            columns = [columns]
+        if common is None:
+            common = True
         global_df = getattr(self, f"_{attr}")
         gmap = getattr(self, f"{attr}map")
         use_mods = mods if mods is not None else list(self.mod)
+
+        # how many of the used modalities carry each requested column
+        col_count = {}
+        for mname in use_mods:
+            for col in getattr(self.mod[mname], attr).columns:
+                if columns is not None and col not in columns:
+                    continue
+                col_count[col] = col_count.get(col, 0) + 1
+
+        merged: dict = {}
         for mname in use_mods:
             ad = self.mod[mname]
             df = getattr(ad, attr)
@@ -306,15 +327,31 @@ class MuData:
                 if col not in df.columns:
                     continue
                 vals = df[col]
-                out = pd.Series(pd.NA, index=global_df.index, dtype=object)
+                count = col_count.get(col, 1)
+                if common and count == len(use_mods):
+                    tgt = col  # merged unprefixed column
+                elif count == 1 and not prefix_unique:
+                    tgt = col
+                else:
+                    tgt = f"{mname}:{col}"
+                if tgt in merged:
+                    out = merged[tgt]
+                else:
+                    out = pd.Series(pd.NA, index=global_df.index, dtype=object)
                 out.iloc[np.flatnonzero(present)] = vals.to_numpy()[loc]
-                try:
-                    out = out.infer_objects()
-                except Exception:
-                    pass
+                merged[tgt] = out
                 if isinstance(vals.dtype, pd.CategoricalDtype):
-                    out = out.astype("category")
-                global_df[f"{mname}:{col}"] = out
+                    merged[tgt + "\0cat"] = True
+        for tgt, out in merged.items():
+            if tgt.endswith("\0cat"):
+                continue
+            try:
+                cast = out.infer_objects()
+            except Exception:
+                cast = out
+            if merged.get(tgt + "\0cat"):
+                cast = cast.astype("category")
+            global_df[tgt] = cast
 
     def push_obs(self, columns=None, mods=None):
         self._push("obs", columns=columns, mods=mods)

@@ -202,14 +202,18 @@ def sample_obs(
     frac: float = 0.1,
     groupby: Optional[str] = None,
     min_n: Optional[int] = None,
+    random_state=None,
 ):
     """Subsample observations, optionally stratified by a categorical .obs
-    column; returns a view (reference muon/_core/preproc.py:887-931)."""
+    column; returns a view (reference muon/_core/preproc.py:887-931).
+    ``random_state`` seeds the draw (repo-wide reproducibility convention;
+    the reference uses the global numpy state)."""
+    rng = np.random.default_rng(random_state)
     if groupby is None:
         new_n = int(np.ceil(data.n_obs * frac))
         if min_n is not None and new_n < min_n:
             new_n = min_n
-        obs_indices = np.random.choice(data.n_obs, size=new_n, replace=False)
+        obs_indices = rng.choice(data.n_obs, size=new_n, replace=False)
         return data[obs_indices]
     if groupby not in data.obs:
         raise ValueError(f"{groupby} is not in .obs")
@@ -222,7 +226,7 @@ def sample_obs(
         if min_n is not None and new_n < min_n:
             new_n = min_n
         obs_names.append(
-            np.random.choice(view.obs_names.to_numpy(), size=new_n, replace=False)
+            rng.choice(view.obs_names.to_numpy(), size=new_n, replace=False)
         )
     return data[np.concatenate(obs_names)]
 

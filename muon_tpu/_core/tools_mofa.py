@@ -283,6 +283,10 @@ def mofa(
             fit_kwargs["sparse_gp"] = True
             if sk.get("frac_inducing") is not None:
                 fit_kwargs["frac_inducing"] = float(sk["frac_inducing"])
+        if sk.get("model_groups"):
+            # learned group-correlation matrix Kg (reference option
+            # surface muon/_core/tools.py:564-580, mofapy2 model_groups)
+            fit_kwargs["model_groups"] = True
         if smooth_warping:
             # DTW alignment of each group's covariate to the reference
             # group (reference option surface muon/_core/tools.py:538-541)

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from functools import lru_cache
+from functools import lru_cache, partial
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -83,6 +83,7 @@ class MOFAResult:
     gp_lengthscales: "Optional[np.ndarray]" = None  # (K,) MEFISTO ℓ per factor
     gp_scales: "Optional[np.ndarray]" = None        # (K,) MEFISTO smoothness
     warped_covariates: "Optional[np.ndarray]" = None  # (N,) aligned covariate
+    gp_group_corr: "Optional[np.ndarray]" = None    # (K, G, G) learned Kg
 
 
 def _digamma(x):
@@ -582,19 +583,81 @@ def _make_step(
 # ---------------------------------------------------------------------------
 
 
-def _rbf_kernel(jnp, c, ell, scale, jitter=1e-4, gvec=None):
+def _rbf_kernel(jnp, c, ell, scale, jitter=1e-4, gvec=None, Kg=None):
     """K = s·exp(−‖cᵢ−cⱼ‖²/2ℓ²) + (1−s+jitter)·I over covariates c (N, p).
 
     gvec (N,) group labels makes the kernel block-diagonal across groups
     (mofapy2's model_groups structure with independent groups): smoothness
     is enforced within each group's trajectory only, which is what lets
     DTW warping observe group-specific shapes instead of a prior that has
-    already tied the groups together on the unaligned covariate."""
+    already tied the groups together on the unaligned covariate.
+
+    Kg (G, G) — a LEARNED group-correlation matrix (mofapy2 model_groups,
+    reference option surface muon/_core/tools.py:564-580): the covariance
+    factorizes as Kg[g_i, g_j] · exp(−d²/2ℓ²). Kg = I recovers the
+    independent-groups block-diagonal case."""
     d2 = ((c[:, None, :] - c[None, :, :]) ** 2).sum(-1)
     K = scale * jnp.exp(-0.5 * d2 / (ell**2))
-    if gvec is not None:
+    if Kg is not None and gvec is not None:
+        gi = gvec.astype(jnp.int32)
+        K = K * Kg[gi][:, gi]
+    elif gvec is not None:
         K = K * (gvec[:, None] == gvec[None, :]).astype(K.dtype)
     return K + (1.0 - scale + jitter) * jnp.eye(c.shape[0], dtype=c.dtype)
+
+
+def _normalize_kg(jnp, X, eps=1e-4):
+    """Kg = corr(X Xᵀ + εI): PSD with unit diagonal by construction."""
+    G = X.shape[0]
+    Kg = X @ X.T + eps * jnp.eye(G, dtype=X.dtype)
+    dd = jnp.sqrt(jnp.diagonal(Kg))
+    return Kg / (dd[:, None] * dd[None, :])
+
+
+@lru_cache(maxsize=None)
+def _gp_group_fn():
+    """Learn the per-factor group-correlation matrix Kg by gradient ascent
+    on the GP marginal term −½(logdet K + μᵀK⁻¹μ + tr(K⁻¹diag(v))) with
+    (ℓ, s) fixed — the TPU-idiomatic replacement for mofapy2's scipy
+    L-BFGS over its Kg parameterization (autodiff through the Cholesky
+    instead of hand-coded gradients)."""
+    jax, jnp = _jax()
+
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def f(c, Zm, Zv, ells, scales, gvec, X_all, n_steps=10, lr=0.2):
+        N = c.shape[0]
+        gi = gvec.astype(jnp.int32)
+        d2 = ((c[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        eye = jnp.eye(N, dtype=c.dtype)
+
+        def neg_score(X, ell, scale, zm, zv):
+            Kg = _normalize_kg(jnp, X)
+            K = (
+                scale * Kg[gi][:, gi] * jnp.exp(-0.5 * d2 / (ell**2))
+                + (1.0 - scale + 1e-4) * eye
+            )
+            L = jnp.linalg.cholesky(K)
+            logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+            sol = jax.scipy.linalg.cho_solve((L, True), zm)
+            quad = zm @ sol
+            Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+            kinv_diag = (Linv * Linv).sum(axis=0)
+            tr = zv @ kinv_diag
+            return 0.5 * (logdet + quad + tr)
+
+        grad_one = jax.grad(neg_score)
+
+        def step(X_all, _):
+            g = jax.vmap(grad_one)(X_all, ells, scales, Zm.T, Zv.T)
+            # normalize step size per factor for stable fixed-lr descent
+            gn = jnp.sqrt((g * g).sum(axis=(1, 2), keepdims=True))
+            return X_all - lr * g / jnp.maximum(gn, 1e-8), None
+
+        X_all, _ = jax.lax.scan(step, X_all, None, length=n_steps)
+        Kg_all = jax.vmap(lambda X: _normalize_kg(jnp, X))(X_all)
+        return X_all, Kg_all
+
+    return f
 
 
 @lru_cache(maxsize=None)
@@ -636,10 +699,14 @@ def _gp_kmat_fn():
     jax, jnp = _jax()
 
     @jax.jit
-    def f(c, ells, scales, gvec=None):
+    def f(c, ells, scales, gvec=None, Kg=None):
+        if Kg is None:
+            return jax.vmap(
+                lambda e, s: _rbf_kernel(jnp, c, e, s, gvec=gvec)
+            )(ells, scales)
         return jax.vmap(
-            lambda e, s: _rbf_kernel(jnp, c, e, s, gvec=gvec)
-        )(ells, scales)
+            lambda e, s, kg: _rbf_kernel(jnp, c, e, s, gvec=gvec, Kg=kg)
+        )(ells, scales, Kg)
 
     return f
 
@@ -1282,6 +1349,7 @@ def fit_mofa(
     smooth_n_grid: int = 10,
     smooth_opt_every: int = 25,
     smooth_start_opt: int = 20,
+    model_groups: bool = False,
     warping: bool = False,
     warping_freq: int = 20,
     warping_ref: int = 0,
@@ -1438,6 +1506,23 @@ def fit_mofa(
                 state["gp_g_u"] = gvec_j[idx_u_j]
         elif "gp_K" not in state:
             state["gp_K"] = _gp_kmat_fn()(gp_cov, gp_ell, gp_scale, gvec_j)
+    # learned group-correlation matrix Kg (mofapy2 model_groups) — dense
+    # GP path only; Kg starts at I (independent groups) and is optimized
+    # on the smooth_opt_every cadence
+    learn_kg = bool(model_groups and smooth and not sparse_gp and G > 1)
+    gp_Xg = gp_Kg = None
+    if model_groups and smooth and sparse_gp:
+        import warnings as _warnings
+
+        _warnings.warn(
+            "model_groups is only implemented for the dense GP path; "
+            "sparse_gp run keeps independent groups.", UserWarning
+        )
+    if learn_kg:
+        gp_Xg = jnp.tile(
+            jnp.eye(G, dtype=jnp.float32)[None], (config.n_factors, 1, 1)
+        )
+        gp_Kg = jax.vmap(lambda X: _normalize_kg(jnp, X))(gp_Xg)
     if mesh is not None:
         # multi-chip: shard the state over the ("cells","feat") mesh; the
         # jitted sweep then runs SPMD with XLA-inserted collectives
@@ -1484,7 +1569,7 @@ def fit_mofa(
                 state["gp_cov_u"] = gp_cov[idx_u_j]
             else:
                 state["gp_K"] = _gp_kmat_fn()(
-                    gp_cov, gp_ell, gp_scale, gvec_j
+                    gp_cov, gp_ell, gp_scale, gvec_j, gp_Kg
                 )
         if (
             smooth
@@ -1502,12 +1587,20 @@ def fit_mofa(
                 state["gp_ell"] = gp_ell
                 state["gp_scale"] = gp_scale
             else:
+                # (ℓ, s) grid search under the independent-groups kernel
+                # (approximation: mofapy2 alternates hyper blocks the same
+                # way), then Kg gradient steps with (ℓ, s) fixed
                 gp_ell, gp_scale = _gp_hyper_fn()(
                     gp_cov, state["Z_mean"], state["Z_var"],
                     gp_ell_grid, gp_scale_grid, gvec_j,
                 )
+                if learn_kg:
+                    gp_Xg, gp_Kg = _gp_group_fn()(
+                        gp_cov, state["Z_mean"], state["Z_var"],
+                        gp_ell, gp_scale, gvec_j, gp_Xg,
+                    )
                 state["gp_K"] = _gp_kmat_fn()(
-                    gp_cov, gp_ell, gp_scale, gvec_j
+                    gp_cov, gp_ell, gp_scale, gvec_j, gp_Kg
                 )
         if callback is not None and it % elbo_every == 0:
             callback(it, state, float(elbo))
@@ -1521,7 +1614,23 @@ def fit_mofa(
             if verbose:
                 print(f"iter {it}: ELBO {e:.4f}")
             if svi_mode:
-                continue  # stochastic objective: no early-stop on deltas
+                # stochastic objective: the minibatch ELBO is noisy, so
+                # convergence is judged on RUNNING-WINDOW means (W recent
+                # evaluations vs the W before them) — the smoothed
+                # analogue of mofapy2's stochastic stop
+                # (muon/_core/tools.py:520-527 option surface)
+                if first_elbo is None:
+                    first_elbo = e
+                W = 5
+                fresh = len(elbos) - len(resumed_elbos)
+                if fresh >= 2 * W and it - it0 >= min_iterations:
+                    recent = float(np.mean(elbos[-W:]))
+                    prev = float(np.mean(elbos[-2 * W : -W]))
+                    delta = abs(recent - prev)
+                    if delta / max(abs(first_elbo), 1e-30) * 100 < threshold:
+                        converged = True
+                        break
+                continue
             if first_elbo is None:
                 first_elbo = e
             elif (
@@ -1578,6 +1687,9 @@ def fit_mofa(
             np.asarray(gp_cov)[:, 0] * _cov_span + _cov_min
             if warping
             else None
+        ),
+        gp_group_corr=(
+            np.asarray(gp_Kg)[order] if gp_Kg is not None else None
         ),
     )
 

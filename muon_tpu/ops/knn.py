@@ -126,20 +126,40 @@ def _knn_fn():
     return f
 
 
+# above this row count the brute-force kernel's n² HBM traffic dominates
+# and the IVF index (ops/ivf.py) takes over the approximate path
+IVF_THRESHOLD = 200_000
+
+
 def knn(
     X,
     k: int,
     metric: str = "euclidean",
     include_self: bool = True,
     approx: bool = False,
+    method: str = "auto",
 ):
     """Exact kNN. Returns (indices (n, k+1), dists (n, k+1)) with self in
     column 0 (pynndescent convention the reference relies on,
-    muon/_core/preproc.py:531)."""
+    muon/_core/preproc.py:531).
+
+    approx=True selects hardware approx_max_k selection; above
+    IVF_THRESHOLD rows it switches to the k-means inverted-file index
+    (ops/ivf.py) whose candidate pruning removes the n² score traffic.
+    method: "auto" | "brute" | "ivf" overrides the choice."""
     jax, jnp = _jax()
     X = jnp.asarray(X, dtype=jnp.float32)
     n, d = X.shape
     k = min(k, n - 1)
+    if method == "ivf" or (
+        method == "auto" and approx and n > IVF_THRESHOLD
+    ):
+        from .ivf import ivf_knn
+
+        idx, dists = ivf_knn(X, k, metric=metric)
+        if include_self:
+            return idx, dists
+        return idx[:, 1:], dists[:, 1:]
     if metric in ("sqeuclidean",):
         m = "sqeuclidean"
     elif metric in ("cosine", "correlation"):

@@ -73,25 +73,37 @@ def _optimize_fn():
     jax, jnp = _jax()
 
     @partial(jax.jit, static_argnames=("n_run", "n_epochs", "neg_rate",
-                                       "move_other"))
-    def f(emb, eons, eonns, heads, tails, epochs_per_sample, epoch0, n_run,
+                                       "move_other", "symmetric"))
+    def f(emb, eons, heads, tails, epochs_per_sample, epoch0, n_run,
           n_epochs, a, b, gamma, init_alpha, neg_rate, key, move_other,
-          hsort, hseg, tsort, tseg):
+          symmetric, tsort, tseg):
         """One chunk of SGD epochs.
 
-        All per-edge gradients for an epoch are accumulated into the
-        embedding with TWO sorted segment-sums (one over head-sorted
-        edges, one over tail-sorted) followed by dense adds — TPU
-        scatter-add over millions of indices is the slow path, sorted
-        segment reduction is the fast one (same trade as the SpMM
-        kernel in ops/sparse). hsort/tsort are the edge permutations
-        that sort by head/tail; hseg/tseg the sorted segment ids.
+        Edges arrive PRE-SORTED BY HEAD, so the attractive accumulation is
+        a direct sorted segment-sum — no per-epoch permutation gather.
+        TPU scatter-add over millions of indices is the slow path, sorted
+        segment reduction the fast one (same trade as ops/sparse SpMM).
+
+        For a SYMMETRIC edge list (fuzzy simplicial sets are symmetric by
+        construction) the tail update is algebraically the head update:
+        g(j→i) = −g(i→j) with identical schedules, so
+        Σ_{tail=v} −g(e) = Σ_{head=v} g(e). The whole tail path (one
+        random (E,dim) gather + one segment-sum per epoch) collapses into
+        doubling the head update. The asymmetric fallback keeps the
+        explicit tail-sorted pass.
+
+        Negative sampling is VERTEX-pooled (documented deviation from
+        umap-learn's per-edge draws): each vertex draws neg_rate uniform
+        negatives per epoch, and the repulsive gradient is scaled by that
+        vertex's number of due edges — same expectation as umap-learn's
+        per-(due-edge × neg_rate) scheme, but the gather volume drops from
+        n_edges×neg_rate (~15M rows at 100k cells) to n×neg_rate (~0.5M),
+        which was the dominating cost of an epoch.
         """
-        n_edges = heads.shape[0]
         n = emb.shape[0]
 
         def epoch_body(i, carry):
-            emb, eons, eonns, key = carry
+            emb, eons, key = carry
             epoch = epoch0 + i
             alpha = init_alpha * (1.0 - epoch / n_epochs)
             due = eons <= (epoch + 1.0)
@@ -108,48 +120,49 @@ def _optimize_fn():
             g = jnp.clip(grad_coeff[:, None] * diff, -4.0, 4.0)
             g = jnp.where(due[:, None], g, 0.0)
 
-            # negative samples: fixed neg_rate draws per due edge
-            # (umap draws a variable number; the expectation matches)
-            n_neg_mult = ((epoch + 1.0 - eonns) / (epochs_per_sample / neg_rate))
-            n_neg = jnp.where(due, jnp.maximum(n_neg_mult, 0.0), 0.0)
-            key, sub = jax.random.split(key)
-            negs = jax.random.randint(sub, (n_edges, neg_rate), 0, n)
-            g_head = g
-            for r in range(neg_rate):
-                tneg = emb[negs[:, r]]
-                diffn = h - tneg
-                d2n = (diffn * diffn).sum(-1)
-                coeff = (2.0 * gamma * b) / (
-                    (0.001 + d2n) * (a * d2n**b + 1.0)
-                )
-                gn = jnp.where(
-                    d2n[:, None] > 0,
-                    jnp.clip(coeff[:, None] * diffn, -4.0, 4.0),
-                    4.0,
-                )
-                gn = jnp.where(due[:, None] & (negs[:, r] != heads)[:, None],
-                               gn, 0.0)
-                g_head = g_head + gn
-
             upd_h = jax.ops.segment_sum(
-                g_head[hsort], hseg, num_segments=n,
+                g, heads, num_segments=n, indices_are_sorted=True,
+            )
+
+            # per-vertex due-edge count (how many negative-sample rounds
+            # this vertex would have run in umap-learn's per-edge scheme)
+            dc = jax.ops.segment_sum(
+                due.astype(emb.dtype), heads, num_segments=n,
                 indices_are_sorted=True,
             )
-            emb = emb + alpha * upd_h
-            if move_other:
+            key, sub = jax.random.split(key)
+            negs = jax.random.randint(sub, (n, neg_rate), 0, n)
+            vneg = emb[negs]                        # (n, R, dim)
+            diffn = emb[:, None, :] - vneg
+            d2n = (diffn * diffn).sum(-1)           # (n, R)
+            coeff = (2.0 * gamma * b) / (
+                (0.001 + d2n) * (a * d2n**b + 1.0)
+            )
+            gn = jnp.where(
+                d2n[..., None] > 0,
+                jnp.clip(coeff[..., None] * diffn, -4.0, 4.0),
+                4.0,
+            )
+            self_hit = negs == jnp.arange(n, dtype=negs.dtype)[:, None]
+            gn = jnp.where(self_hit[..., None], 0.0, gn)
+            upd_neg = gn.sum(axis=1) * dc[:, None]
+
+            if move_other and symmetric:
+                emb = emb + alpha * (2.0 * upd_h + upd_neg)
+            elif move_other:
                 upd_t = jax.ops.segment_sum(
                     g[tsort], tseg, num_segments=n,
                     indices_are_sorted=True,
                 )
-                emb = emb - alpha * upd_t
+                emb = emb + alpha * (upd_h + upd_neg) - alpha * upd_t
+            else:
+                emb = emb + alpha * (upd_h + upd_neg)
 
             eons = jnp.where(due, eons + epochs_per_sample, eons)
-            eonns = jnp.where(due, eonns + n_neg * (epochs_per_sample / neg_rate),
-                              eonns)
-            return (emb, eons, eonns, key)
+            return (emb, eons, key)
 
         return jax.lax.fori_loop(
-            0, n_run, epoch_body, (emb, eons, eonns, key)
+            0, n_run, epoch_body, (emb, eons, key)
         )
 
     return f
@@ -187,6 +200,37 @@ def umap_embed(
     w = w[keep]
     epochs_per_sample = (w.max() / w).astype(np.float32)
 
+    # symmetric edge list (fuzzy simplicial sets are; pruning preserves
+    # it) → the optimizer can fold the tail pass into the head pass
+    Gk = sp.csr_matrix(
+        (w, (heads, tails)), shape=(n, n)
+    )
+    diffG = Gk - Gk.T
+    symmetric = bool(np.abs(diffG.data).max(initial=0.0) < 1e-12)
+
+    # pre-sort edges by head once: the per-epoch attractive accumulation
+    # becomes a direct sorted segment-sum with no permutation gather
+    order = np.argsort(heads, kind="stable")
+    heads = heads[order]
+    tails = tails[order]
+    epochs_per_sample = epochs_per_sample[order]
+
+    # pad the edge axis to a coarse bucket (1/16 granularity) so the epoch
+    # kernel compiles once per size class instead of once per dataset —
+    # per-shape recompiles cost 10-60s on a tunneled TPU (CLAUDE.md).
+    # Padded edges have eons = +inf (never due): zero gradient, zero
+    # due-count, and head 0 accumulates only zeros.
+    E = len(heads)
+    bucket = max(8192, 1 << max(E.bit_length() - 4, 3))
+    E_pad = -(-max(E, 1) // bucket) * bucket
+    if E_pad > E:
+        # heads padded with n-1 to keep the sorted-segment promise valid
+        heads = np.pad(heads, (0, E_pad - E), constant_values=n - 1)
+        tails = np.pad(tails, (0, E_pad - E))
+        epochs_per_sample = np.pad(
+            epochs_per_sample, (0, E_pad - E), constant_values=np.inf
+        )
+
     if isinstance(init, np.ndarray):
         emb = np.asarray(init, dtype=np.float32)
     elif init == "random":
@@ -199,25 +243,24 @@ def umap_embed(
     key = jax.random.PRNGKey(random_state if isinstance(random_state, int) else 0)
     f = _optimize_fn()
     eps = jnp.asarray(epochs_per_sample)
-    state = (jnp.asarray(emb), eps, eps / negative_sample_rate, key)
+    state = (jnp.asarray(emb), eps, key)
     heads_j, tails_j = jnp.asarray(heads), jnp.asarray(tails)
-    # edge permutations sorting by head/tail, for the per-epoch sorted
-    # segment-sum accumulation (host argsort: once per embedding)
-    hsort = np.argsort(heads, kind="stable")
-    tsort = np.argsort(tails, kind="stable")
-    hsort_j = jnp.asarray(hsort.astype(np.int32))
-    hseg_j = jnp.asarray(heads[hsort].astype(np.int32))
-    tsort_j = jnp.asarray(tsort.astype(np.int32))
-    tseg_j = jnp.asarray(tails[tsort].astype(np.int32))
+    if symmetric:
+        # tail pass folded into the (doubled) head pass — no permutation
+        tsort_j = tseg_j = jnp.zeros((1,), jnp.int32)
+    else:
+        tsort = np.argsort(tails, kind="stable")
+        tsort_j = jnp.asarray(tsort.astype(np.int32))
+        tseg_j = jnp.asarray(tails[tsort].astype(np.int32))
     # epochs run in chunks: one multi-minute XLA program can trip the TPU
     # worker watchdog at 10⁵-cell scale, and chunking costs nothing
     chunk = 25
     for e0 in range(0, int(n_epochs), chunk):
         n_run = min(chunk, int(n_epochs) - e0)
         state = f(
-            state[0], state[1], state[2], heads_j, tails_j, eps,
+            state[0], state[1], heads_j, tails_j, eps,
             float(e0), int(n_run), int(n_epochs), float(a), float(b),
             float(gamma), float(alpha), int(negative_sample_rate),
-            state[3], True, hsort_j, hseg_j, tsort_j, tseg_j,
+            state[2], True, symmetric, tsort_j, tseg_j,
         )
     return np.asarray(state[0])

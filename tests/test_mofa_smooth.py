@@ -251,3 +251,54 @@ class TestSparseGP:
         with pytest.raises(ValueError):
             fit_mofa([Y], MOFAConfig(n_factors=2), n_iterations=5,
                      sparse_gp=True)
+
+
+class TestModelGroups:
+    """Learned group-correlation matrix Kg (mofapy2 model_groups;
+    reference option surface muon/_core/tools.py:564-580)."""
+
+    @staticmethod
+    def _sim_correlated_groups(rho, seed=0, n_per=120, d1=50, d2=40):
+        """Two groups sharing a time grid; group B's factor is a known
+        mixture of group A's factor and an independent smooth function."""
+        rng = np.random.default_rng(seed)
+        t = np.linspace(0, 1, n_per).astype(np.float32)
+        fA = np.sin(2 * np.pi * t)
+        g = np.cos(2 * np.pi * t)  # orthogonal to fA over the full period
+        fB = rho * fA + np.sqrt(max(1 - rho**2, 0.0)) * g
+        z = np.concatenate([fA, fB]).astype(np.float32)[:, None]
+        groups = np.repeat([0, 1], n_per)
+        W1 = rng.normal(size=(d1, 1)).astype(np.float32)
+        W2 = rng.normal(size=(d2, 1)).astype(np.float32)
+        Y1 = z @ W1.T + 0.3 * rng.normal(size=(2 * n_per, d1)).astype(np.float32)
+        Y2 = z @ W2.T + 0.3 * rng.normal(size=(2 * n_per, d2)).astype(np.float32)
+        cov = np.concatenate([t, t]).astype(np.float32)
+        return cov, groups, Y1, Y2
+
+    @pytest.mark.parametrize("rho", [0.9, 0.0])
+    def test_kg_recovery(self, rho):
+        cov, groups, Y1, Y2 = self._sim_correlated_groups(rho)
+        config = MOFAConfig(n_factors=2, seed=0, ard_factors=True)
+        res = fit_mofa(
+            [Y1, Y2], config, groups=groups, n_iterations=120,
+            smooth_covariate=cov, smooth_opt_every=15, smooth_start_opt=15,
+            model_groups=True,
+        )
+        assert res.gp_group_corr is not None
+        assert res.gp_group_corr.shape == (2, 2, 2)
+        # factor 0 carries the signal (factors sorted by variance
+        # explained); its learned cross-group correlation tracks rho
+        kg01 = float(res.gp_group_corr[0, 0, 1])
+        assert abs(kg01 - rho) < 0.35, (kg01, rho)
+        # diagonal is exactly 1 by construction
+        assert np.allclose(np.diagonal(res.gp_group_corr, axis1=1, axis2=2), 1.0)
+
+    def test_sparse_gp_warns(self):
+        cov, groups, Y1, Y2 = self._sim_correlated_groups(0.5)
+        config = MOFAConfig(n_factors=2, seed=0)
+        with pytest.warns(UserWarning, match="model_groups"):
+            fit_mofa(
+                [Y1, Y2], config, groups=groups, n_iterations=5,
+                min_iterations=5, smooth_covariate=cov, sparse_gp=True,
+                model_groups=True,
+            )

@@ -205,3 +205,49 @@ class TestApproxKnn:
              for a, b in zip(i_ex[:500], i_ap[:500])]
         )
         assert recall > 0.9, recall
+
+
+class TestIvfKnn:
+    """IVF (k-means inverted file) approximate kNN — the >200k-cell path
+    that replaces the brute-force kernel's n² score traffic."""
+
+    def test_recall_vs_exact(self):
+        from muon_tpu.ops.knn import knn
+        from muon_tpu.ops.ivf import ivf_knn
+
+        X, _ = clustered_data(n_per=2500, n_clusters=8, d=16, seed=4)
+        idx_e, _ = knn(X, 15)
+        idx_a, d_a = ivf_knn(X, 15, n_clusters=64, n_probe=8)
+        hits = total = 0
+        ie, ia = np.asarray(idx_e), np.asarray(idx_a)
+        for i in range(X.shape[0]):
+            hits += len(set(ie[i]) & set(ia[i]))
+            total += ie.shape[1]
+        recall = hits / total
+        assert recall > 0.9, recall
+        # self in column 0 with distance 0 (knn convention)
+        assert (ia[:, 0] == np.arange(X.shape[0])).all()
+        assert np.allclose(np.asarray(d_a)[:, 0], 0.0)
+        # distances are true euclidean and ascending-ish
+        assert np.isfinite(np.asarray(d_a)).all()
+
+    def test_cosine(self):
+        from muon_tpu.ops.knn import knn
+        from muon_tpu.ops.ivf import ivf_knn
+
+        X, _ = clustered_data(n_per=1500, n_clusters=6, d=12, seed=5)
+        idx_e, _ = knn(X, 10, metric="cosine")
+        idx_a, _ = ivf_knn(X, 10, metric="cosine", n_clusters=32)
+        ie, ia = np.asarray(idx_e), np.asarray(idx_a)
+        recall = np.mean([
+            len(set(ie[i]) & set(ia[i])) / ie.shape[1]
+            for i in range(X.shape[0])
+        ])
+        assert recall > 0.85, recall
+
+    def test_method_dispatch(self):
+        from muon_tpu.ops.knn import knn
+
+        X, _ = clustered_data(n_per=400, n_clusters=4, d=8, seed=6)
+        idx, dists = knn(X, 8, approx=True, method="ivf")
+        assert idx.shape == (1600, 9)
