@@ -1,0 +1,240 @@
+"""North-star benchmark: 1M cells × 3 modalities end-to-end on ONE chip
+(BASELINE.json config 5; VERDICT r1 next-round item #1).
+
+Pipeline (the full muon user journey, reference paths
+muon/_atac/preproc.py:16 + tools.py:29, muon/_core/preproc.py:264,
+muon/_core/tools.py:583-585,1057,1209):
+
+  synthesize 3-modality multiome  →  device ingest (wire-format upload)
+  → ATAC tfidf + lsi(50)  → RNA log1p + pca(50)  → prot CLR + pca(30)
+  → per-modality neighbors (IVF kNN at this scale) → WNN fusion
+  → multiplex leiden → UMAP (200 epochs) → stochastic-VI MOFA (K=15)
+  on the 256+256 most variable rna+atac features.
+
+Prints one line per stage and ONE final JSON line:
+  {"metric": "e2e_1m_3mod_sec", "value": T, "unit": "s", "vs_baseline": R}
+
+vs_baseline is measured-CPU extrapolation: the cached CPU numbers for
+tfidf+lsi (scipy/ARPACK, BASELINE_MEASURED.json) and wnn+leiden+umap /
+MOFA (same XLA programs pinned to the CPU backend — CONSERVATIVE, XLA-CPU
+beats the reference's numba/numpy stack) scaled linearly in cells from
+their measured scale to 1M. Components and scale factors are printed so
+the extrapolation is auditable.
+
+MUON_TPU_BENCH_SCALE=100 runs a 10k-cell smoke version.
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+
+import numpy as np
+from scipy import sparse as sp
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+_SCALE = max(1, int(os.environ.get("MUON_TPU_BENCH_SCALE", "1")))
+N = 1_000_000 // _SCALE
+D_RNA, NNZ_RNA = 20_000, 100
+D_ATAC, NNZ_ATAC = 25_000, 150
+D_PROT = 120
+K_MOFA, MOFA_ITERS = 15, 100
+N_CLUSTERS = 20
+CACHE = os.path.join(HERE, "BASELINE_MEASURED.json")
+
+_stage_times = {}
+
+
+def timed(name):
+    class _T:
+        def __enter__(self):
+            self.t0 = time.perf_counter()
+
+        def __exit__(self, *a):
+            dt = time.perf_counter() - self.t0
+            _stage_times[name] = round(dt, 2)
+            print(f"[stage] {name}: {dt:.2f}s", flush=True)
+
+    return _T()
+
+
+def synth():
+    """Clustered 3-modality multiome at 1M cells (power-law feature
+    popularity for realistic sparsity skew, cluster-shifted programs so
+    every downstream stage has real structure to find)."""
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, N_CLUSTERS, N)
+
+    def counts(d, nnz_per, cluster_frac=0.3):
+        pop = rng.pareto(1.2, d) + 1.0
+        # per-cluster popularity tilt: a random subset of features is
+        # boosted for each cluster
+        boost = np.ones((N_CLUSTERS, d))
+        for c in range(N_CLUSTERS):
+            sel = rng.choice(d, size=d // 20, replace=False)
+            boost[c, sel] = 8.0
+        nnz = N * nnz_per
+        cols = np.empty(nnz, np.int32)
+        # draw per cluster so the tilted profile applies
+        start = 0
+        order = np.argsort(labels, kind="stable")
+        sizes = np.bincount(labels, minlength=N_CLUSTERS)
+        for c in range(N_CLUSTERS):
+            m = sizes[c] * nnz_per
+            p = pop * boost[c]
+            p /= p.sum()
+            cols[start : start + m] = rng.choice(d, size=m, p=p)
+            start += m
+        rows = np.repeat(order, nnz_per).astype(np.int32)
+        data = rng.integers(1, 5, size=nnz).astype(np.float32)
+        X = sp.coo_matrix((data, (rows, cols)), shape=(N, d))
+        X.sum_duplicates()
+        return X.tocsr()
+
+    rna = counts(D_RNA, NNZ_RNA)
+    atac = counts(D_ATAC, NNZ_ATAC)
+    cent = rng.normal(size=(N_CLUSTERS, D_PROT)) * 2.0
+    prot = np.maximum(
+        cent[labels] + rng.normal(size=(N, D_PROT)), 0.0
+    ).astype(np.float32) + rng.poisson(3.0, size=(N, D_PROT)).astype(np.float32)
+    return rna, atac, prot, labels
+
+
+def main():
+    import muon_tpu as mu
+    from muon_tpu import atac as ac
+    from muon_tpu import prot as pt
+
+    print(f"n_cells={N} rna={D_RNA} atac={D_ATAC} prot={D_PROT}", flush=True)
+    with timed("synth(host)"):
+        rna_X, atac_X, prot_X, labels = synth()
+
+    t_all0 = time.perf_counter()
+
+    rna = mu.AnnData(rna_X)
+    atac = mu.AnnData(atac_X)
+    prot = mu.AnnData(prot_X)
+    mdata = mu.MuData({"rna": rna, "atac": atac, "prot": prot})
+
+    # --- per-modality preprocessing -------------------------------------
+    with timed("atac.tfidf+lsi50"):
+        ac.pp.tfidf(atac)
+        ac.tl.lsi(atac, n_comps=50)
+
+    with timed("rna.norm+pca50"):
+        from muon_tpu.ops.linalg import pca as _pca
+        from muon_tpu.ops import sparse as dsp
+
+        # library-size normalize + log1p on the device value vector
+        dX = dsp.from_scipy(rna.X)
+        rs = dsp.row_sums(dX)
+        import jax.numpy as jnp
+
+        inv = 1e4 / jnp.maximum(rs, 1.0)
+        vals = jnp.log1p(dsp.scale_rows_data(dX, inv))
+        rna_norm = dsp.to_scipy_data(rna.X.tocsr(), vals, device_X=dX)
+        rna.X = rna_norm
+        scores, _, _, _ = _pca(rna.X, n_comps=50)
+        rna.obsm["X_pca"] = np.asarray(scores)
+
+    with timed("prot.clr+pca30"):
+        pt.pp.clr(prot)
+        scores, _, _, _ = _pca(np.asarray(prot.X), n_comps=30)
+        prot.obsm["X_pca"] = np.asarray(scores)
+
+    # MOFA inputs: most-variable 256 features per count modality, captured
+    # BEFORE the big matrices are dropped
+    with timed("hvg.select"):
+        def topvar_dense(X_csr, dn=256):
+            Xd = dsp.from_scipy(X_csr)
+            cs = np.asarray(dsp.col_sums(Xd))
+            c2 = np.asarray(dsp.col_sums(Xd._replace(data=Xd.data**2)))
+            n = X_csr.shape[0]
+            var = c2 / n - (cs / n) ** 2
+            sel = np.argsort(-var)[:dn]
+            return np.asarray(X_csr[:, sel].todense(), np.float32)
+
+        Y_rna = topvar_dense(rna.X)
+        Y_atac = topvar_dense(atac.X)
+
+    # free the count matrices: downstream stages run on reps
+    rna.X = None
+    atac.X = None
+    gc.collect()
+
+    # --- neighbors + fusion + clustering + embedding --------------------
+    with timed("neighbors.rna"):
+        mu.pp.neighbors(rna, n_neighbors=20, use_rep="X_pca")
+    with timed("neighbors.atac"):
+        mu.pp.neighbors(atac, n_neighbors=20, use_rep="X_lsi")
+    with timed("neighbors.prot"):
+        mu.pp.neighbors(prot, n_neighbors=20, use_rep="X_pca")
+
+    with timed("wnn"):
+        mu.pp.neighbors(mdata)
+    with timed("leiden"):
+        mu.tl.leiden(mdata, resolution=1.0)
+    with timed("umap200"):
+        mu.tl.umap(mdata)
+
+    # --- stochastic-VI MOFA ---------------------------------------------
+    with timed("mofa.svi"):
+        from muon_tpu.models.mofa import MOFAConfig, fit_mofa
+
+        cfg = MOFAConfig(n_factors=K_MOFA, likelihoods=["gaussian"] * 2)
+        res = fit_mofa(
+            [Y_rna, Y_atac], cfg,
+            n_iterations=MOFA_ITERS, min_iterations=20,
+            svi_mode=True, svi_batch_fraction=min(50_000 / N, 1.0),
+            elbo_every=5,
+        )
+        mdata.obsm["X_mofa"] = res.Z
+
+    total = time.perf_counter() - t_all0
+
+    # quality gate: the pipeline must actually work, not just run
+    from sklearn.metrics import adjusted_rand_score
+
+    ari = adjusted_rand_score(labels, mdata.obs["leiden"].to_numpy())
+    print(f"[quality] leiden ARI vs planted clusters: {ari:.3f}", flush=True)
+
+    # --- CPU-extrapolated baseline (auditable) ---------------------------
+    cache = json.load(open(CACHE)) if os.path.exists(CACHE) else {}
+    comps = {}
+    t = cache.get("tfidf_lsi_100000x25000_nnz250_k50")
+    if t:
+        comps["tfidf_lsi(meas@100k x10)"] = t * (N / 100_000)
+    t = cache.get("wnn_leiden_umap_100000cells_cpu_xla")
+    if t:
+        # 2-mod measurement; this pipeline fuses 3 modalities (+1 kNN, +1
+        # fusion pass ≈ x1.4) — scale cells linearly, modality factor 1.4
+        comps["wnn_leiden_umap(meas@100k x10 x1.4mods)"] = (
+            t * (N / 100_000) * 1.4
+        )
+    t = cache.get("mofa_iters_per_sec_10000cells_k15_cpu_xla")
+    if t:
+        comps[f"mofa({MOFA_ITERS}it, meas@10k)"] = MOFA_ITERS / t * (N / 10_000)
+    baseline = sum(comps.values()) if comps else None
+    for k, v in comps.items():
+        print(f"[cpu-extrapolation] {k}: {v:.0f}s", flush=True)
+
+    out = {
+        "metric": f"e2e_{N}cells_3mod_sec",
+        "value": round(total, 1),
+        "unit": "s",
+        "vs_baseline": round(baseline / total, 2) if baseline else None,
+        "stages": _stage_times,
+        "leiden_ari": round(ari, 3),
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -81,7 +81,8 @@ def rank_genes_groups(
     """Rank genes/peaks per group vs rest (scanpy-compatible results dict).
 
     Methods: "t-test" / "t-test_overestim_var" (Welch on device moments),
-    "wilcoxon" (device rank-sums with tie-corrected normal approximation).
+    "wilcoxon" (device rank-sums with tie-corrected normal approximation),
+    "logreg" (multinomial logistic-regression coefficients, MXU matmuls).
     """
     jax, jnp = _jax()
 
@@ -227,6 +228,66 @@ def rank_genes_groups(
             scores_rec[gname] = z[order].astype(np.float32)
             pvals_rec[gname] = pv[order]
             padj_rec[gname] = _bh_adjust(pv)[order]
+            lfc_rec[gname] = lfc[order].astype(np.float32)
+    elif method == "logreg":
+        # scanpy parity: sklearn LogisticRegression coefficients as scores
+        # (scanpy's _rank_genes_groups logreg branch; reference reaches it
+        # through muon/_atac/tools.py:371 rank_peaks_groups). TPU-native
+        # replacement: full-batch multinomial softmax regression trained
+        # with Adam — every step is two (n×D)·(D×g) MXU matmuls. Like
+        # scanpy, only scores/names are meaningful (pvals are NaN).
+        import optax
+
+        Xd = np.asarray(X.todense()) if sp.issparse(X) else np.asarray(X)
+        Xj = jnp.asarray(Xd, jnp.float32)
+        y = jnp.asarray(np.where(valid, codes, 0), jnp.int32)
+        wv = jnp.asarray(valid.astype(np.float32))
+        C_reg = float(kwargs.get("C", 1.0))
+        n_steps = int(kwargs.get("max_iter", 200))
+
+        @jax.jit
+        def fit(Xj, y, wv):
+            D_ = Xj.shape[1]
+            params = {
+                "W": jnp.zeros((D_, g), jnp.float32),
+                "b": jnp.zeros((g,), jnp.float32),
+            }
+            opt = optax.adam(5e-2)
+            state = opt.init(params)
+
+            def loss_fn(p):
+                logits = Xj @ p["W"] + p["b"]
+                ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+                reg = 0.5 / C_reg * jnp.sum(p["W"] ** 2)
+                return jnp.sum(ce * wv) + reg
+
+            def step(carry, _):
+                p, s = carry
+                grads = jax.grad(loss_fn)(p)
+                upd, s = opt.update(grads, s, p)
+                return (optax.apply_updates(p, upd), s), None
+
+            (params, _), _ = jax.lax.scan(step, (params, state), None, length=n_steps)
+            # centre class coefficients (softmax is shift-invariant; sklearn's
+            # symmetric multinomial parameterization has the same property)
+            return params["W"] - params["W"].mean(axis=1, keepdims=True)
+
+        W = np.asarray(fit(Xj, y, wv))  # (D, g)
+
+        for gi, gname in enumerate(all_names):
+            if gname not in use_groups:
+                continue
+            n1 = counts[gi]
+            nr = n_tot - n1
+            coef = W[:, gi]
+            m1 = s1[gi] / max(n1, 1)
+            mr = (tot1 - s1[gi]) / max(nr, 1)
+            lfc = np.log2((np.expm1(m1) + 1e-9) / (np.expm1(mr) + 1e-9))
+            order = np.argsort(-coef)[:n_genes]
+            names_rec[gname] = adata.var_names.to_numpy()[order]
+            scores_rec[gname] = coef[order].astype(np.float32)
+            pvals_rec[gname] = np.full(len(order), np.nan)
+            padj_rec[gname] = np.full(len(order), np.nan)
             lfc_rec[gname] = lfc[order].astype(np.float32)
     else:
         raise ValueError(f"Unknown method {method!r}")

@@ -158,3 +158,34 @@ class TestIntegration:
         mu.tl.rank_genes_groups(ad, "cluster")
         res = ad.uns["rank_genes_groups"]
         assert (res["pvals_adj"]["a"] >= res["pvals"]["a"] - 1e-12).all()
+
+
+class TestLogreg:
+    def test_planted_genes_win(self, adata):
+        ad, X, labels = adata
+        mu.tl.rank_genes_groups(ad, "cluster", method="logreg")
+        res = ad.uns["rank_genes_groups"]
+        assert res["params"]["method"] == "logreg"
+        # the planted markers carry the largest coefficients
+        assert res["names"]["a"][0] == "g0"
+        assert res["names"]["b"][0] == "g1"
+        # coefficients are real numbers, pvals are NaN (scanpy logreg parity)
+        assert np.isfinite(res["scores"]["a"]).all()
+        assert np.isnan(res["pvals"]["a"]).all()
+
+    def test_matches_sklearn_direction(self, adata):
+        ad, X, labels = adata
+        mu.tl.rank_genes_groups(ad, "cluster", method="logreg")
+        ours = ad.uns["rank_genes_groups"]["scores"]["a"]
+        names = ad.uns["rank_genes_groups"]["names"]["a"]
+        from sklearn.linear_model import LogisticRegression
+
+        clf = LogisticRegression(max_iter=500).fit(X, labels)
+        coef_a = clf.coef_[list(clf.classes_).index("a")]
+        gidx = {f"g{i}": i for i in range(X.shape[1])}
+        ref = np.array([coef_a[gidx[nm]] for nm in names])
+        # same optimum up to optimizer tolerance: rank correlation is high
+        from scipy.stats import spearmanr
+
+        rho = spearmanr(ours, ref).statistic
+        assert rho > 0.95
