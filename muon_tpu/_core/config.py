@@ -9,7 +9,10 @@ from __future__ import annotations
 OPTIONS = {
     # TPU/JAX backend options (new in muon_tpu)
     "device": "auto",        # "auto" | "tpu" | "cpu"
-    "use_pallas": "auto",    # "auto" | True | False — use Pallas kernels when on TPU
+    # "auto" | True | False — dense-row-block SpMM for large XᵀX products
+    # (Pallas itself is blocked on Mosaic vector gather; this is the
+    # measured XLA workaround, 2.3× on the 100k×25k rSVD iteration)
+    "spmm_blocks": "auto",
     "compute_dtype": "float32",
     "display_style": "text",  # kept for mudata-parity ("text" | "html")
     "profile": False,         # per-stage wall timers (muon_tpu.utils.profiling)
@@ -17,7 +20,7 @@ OPTIONS = {
 
 _VALID_OPTIONS = {
     "device": lambda x: x in ("auto", "tpu", "cpu", "gpu"),
-    "use_pallas": lambda x: x in ("auto", True, False),
+    "spmm_blocks": lambda x: x in ("auto", True, False),
     "compute_dtype": lambda x: x in ("float32", "float64", "bfloat16"),
     "display_style": lambda x: x in ("text", "html"),
     "profile": lambda x: x in (True, False),

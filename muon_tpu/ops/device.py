@@ -32,10 +32,15 @@ def on_tpu() -> bool:
         return False
 
 
-def use_pallas() -> bool:
+def use_spmm_blocks() -> bool:
+    """Gate for the dense-row-block SpMM path (ops/sparse.block_layout).
+
+    "auto" enables it everywhere — the kernel is plain XLA (segment_sum +
+    matmul) and wins wherever repeated XᵀX products amortize the layout
+    build; set ``spmm_blocks=False`` to force the gather path."""
     from .._core.config import OPTIONS
 
-    opt = OPTIONS["use_pallas"]
+    opt = OPTIONS["spmm_blocks"]
     if opt == "auto":
-        return on_tpu()
+        return True
     return bool(opt)

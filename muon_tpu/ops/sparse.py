@@ -35,6 +35,7 @@ __all__ = [
     "col_sums",
     "spmm",
     "spmm_t",
+    "block_layout",
     "tfidf_data",
     "with_col_perm",
     "scale_rows_data",
@@ -193,6 +194,16 @@ def from_scipy(X, pad_multiple: int = 8192, dtype=None) -> DeviceCOO:
         np.dtype(dtype).name,
         wire_col.dtype == np.int16,
     )
+    # block-layout E hint from the host indptr (free here; saves a scalar
+    # d2h sync — ~0.3s on the tunnel — if rsvd later builds the layout)
+    R_hint = pick_block_rows(n, d)
+    nb = max(1, -(-n // R_hint))
+    bounds = np.minimum(np.arange(nb + 1, dtype=np.int64) * R_hint, n)
+    cnts = (indptr[bounds[1:]].astype(np.int64)
+            - indptr[bounds[:-1]].astype(np.int64))
+    cnts[-1] += pad - nnz  # pad entries are clamped into the last block
+    _cache_put(_epad_hint, (id(row_j), R_hint), int(cnts.max()))
+
     # perm_bycol stays lazy (None): a 25M-element device sort costs more
     # than unsorted transposed segment-sums unless the matrix is reused
     # many times — build it explicitly with with_col_perm() if needed
@@ -613,6 +624,122 @@ def spmm_t(X: DeviceCOO, B):
     """Xᵀ @ B for B of shape (n_rows, k) — same data, column segments."""
     C = _chunk_count(X.data.shape[0], B.shape[1])
     return _spmm_fn()(X, B, C, True)
+
+
+# ---------------------------------------------------------------------------
+# dense-row-block layout: the SpMM workaround for repeated XᵀX products
+# ---------------------------------------------------------------------------
+#
+# Pallas can't express the B[col] vector gather (Mosaic has no VMEM vector
+# gather on this image), but the gather can be removed entirely for the
+# X^T(X·V) pattern that dominates randomized SVD: scatter each R-row block
+# of X into a dense (R, d) buffer (one sorted segment_sum — sequential HBM
+# writes), then hit the MXU twice with dense·V and denseᵀ·(dense·V). One
+# densify amortizes over BOTH products. Measured on the 100k×25k bench
+# matrix (v5e): fused XᵀXB 299ms vs 677ms for the gather spmm_t∘spmm pair.
+
+
+@lru_cache(maxsize=None)
+def _block_max_fn():
+    jax, jnp = _jax()
+
+    @partial(jax.jit, static_argnames=("R", "n_blocks"))
+    def f(row, R, n_blocks):
+        block = jnp.minimum(row // R, n_blocks - 1)
+        counts = jax.ops.segment_sum(
+            jnp.ones_like(row), block, num_segments=n_blocks,
+            indices_are_sorted=True,
+        )
+        return counts.max()
+
+    return f
+
+
+@lru_cache(maxsize=None)
+def _block_layout_fn():
+    jax, jnp = _jax()
+
+    @partial(jax.jit, static_argnames=("R", "d", "n_blocks", "E_pad"))
+    def f(data, row, col, R, d, n_blocks, E_pad):
+        block = jnp.minimum(row // R, n_blocks - 1)
+        counts = jax.ops.segment_sum(
+            jnp.ones_like(row), block, num_segments=n_blocks,
+            indices_are_sorted=True,
+        )
+        starts = jnp.cumsum(counts) - counts
+        pos = jnp.arange(row.shape[0], dtype=jnp.int32) - starts[block]
+        dest = block * E_pad + pos
+        # intra-block flat index; pad entries (row=n, col=d, data=0) land on
+        # the R*d overflow segment or on a zero-contribution valid slot
+        flat_local = jnp.minimum((row - block * R) * d + col, R * d)
+        flat = jnp.full((n_blocks * E_pad,), R * d, jnp.int32)
+        flat = flat.at[dest].set(
+            flat_local, mode="drop", unique_indices=True,
+            indices_are_sorted=True,
+        )
+        vals = jnp.zeros((n_blocks * E_pad,), data.dtype)
+        vals = vals.at[dest].set(
+            data, mode="drop", unique_indices=True, indices_are_sorted=True,
+        )
+        return flat.reshape(n_blocks, E_pad), vals.reshape(n_blocks, E_pad)
+
+    return f
+
+
+def pick_block_rows(n: int, d: int, budget_bytes: int = 1 << 30) -> int:
+    """Rows per dense block: (R, d) bf16 buffer capped at ``budget_bytes``."""
+    R = 4096
+    while R > 8 and R * d * 2 > budget_bytes:
+        R //= 2
+    while R // 2 >= n and R > 8:
+        R //= 2
+    return R
+
+
+# bounded caches: built layouts + host-computed max-block-nnz hints, keyed
+# by the identity of the device data buffer (rebuilding costs ~0.6s at 22M
+# nnz on the tunnel — ~half of it the scalar d2h sync the hint avoids)
+_layout_cache: dict = {}
+_epad_hint: dict = {}
+
+
+def _cache_put(cache, key, value, cap=8):
+    if len(cache) >= cap:
+        cache.pop(next(iter(cache)))
+    cache[key] = value
+
+
+def block_layout(X: DeviceCOO, R: int):
+    """(n_blocks, E_pad) per-row-block flat indices + values, built ON
+    DEVICE from the existing COO buffers (a host loop costs seconds at
+    production nnz; this is one scatter with sorted unique indices).
+
+    ``flat`` holds (row%R)*d + col ascending within each block; pad slots
+    point at the R*d overflow segment so a sorted segment_sum densify
+    drops them for free."""
+    jax, jnp = _jax()
+    ck = (id(X.row), id(X.data), R)
+    hit = _layout_cache.get(ck)
+    if hit is not None:
+        return hit
+    n_blocks = max(1, -(-X.n_rows // R))
+    # the E hint is structure-only, so it survives value replacement
+    # (tfidf swaps .data but shares .row)
+    E = _epad_hint.get((id(X.row), R))
+    if E is None:
+        E = int(_block_max_fn()(X.row, R, n_blocks))
+    # bucket-pad the block-entry axis: coarse 64k buckets at scale, tight
+    # power-of-two for test-sized inputs (recompile avoidance either way)
+    if E >= 65536:
+        E_pad = -(-E // 65536) * 65536
+    else:
+        E_pad = 1 << max(10, (E - 1).bit_length())
+    flat, vals = _block_layout_fn()(
+        X.data, X.row, X.col, R=R, d=X.n_cols, n_blocks=n_blocks,
+        E_pad=E_pad,
+    )
+    _cache_put(_layout_cache, ck, (flat, vals))
+    return flat, vals
 
 
 @lru_cache(maxsize=None)

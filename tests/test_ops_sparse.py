@@ -78,6 +78,48 @@ class TestSVD:
             c = abs(np.dot(np.asarray(U)[:, i], Ur[:, i]))
             assert c > 1 - 1e-5, f"component {i}: cosine {c}"
 
+    def test_blocks_method_matches_gather(self, X):
+        # dense-row-block XᵀX kernel (ops/sparse.block_layout) must agree
+        # with the gather path and with dense SVD on singular values
+        dense = X.toarray()
+        U, s, Vt = randomized_svd(X, k=8, n_iter=10, seed=0, method="blocks")
+        _, s_ref, _ = np.linalg.svd(dense, full_matrices=False)
+        assert np.allclose(np.asarray(s), s_ref[:8], rtol=1e-3)
+        # subspace agreement with the gather path (per-vector cosine up to sign)
+        Ug, sg, Vtg = randomized_svd(X, k=8, n_iter=10, seed=0, method="gather")
+        for i in range(8):
+            c = abs(np.dot(np.asarray(U)[:, i], np.asarray(Ug)[:, i]))
+            assert c > 0.99, f"component {i}: cosine {c}"
+        # reconstruction quality
+        approx = np.asarray(U) * np.asarray(s) @ np.asarray(Vt)
+        Ur, sr, Vtr = np.linalg.svd(dense, full_matrices=False)
+        ref = (Ur[:, :8] * sr[:8]) @ Vtr[:8]
+        assert np.allclose(approx, ref, atol=5e-3)
+
+    def test_block_layout_roundtrip(self):
+        # the device-built block layout densifies back to the original
+        import muon_tpu.ops.sparse as dsp_
+
+        rng = np.random.default_rng(3)
+        Xs = sp.random(100, 37, density=0.15, random_state=5, format="csr")
+        Xs.data = rng.random(Xs.nnz).astype(np.float32)
+        dX = dsp_.from_scipy(Xs)
+        R = dsp_.pick_block_rows(100, 37)
+        flat, vals = dsp_.block_layout(dX, R)
+        import jax.numpy as jnp
+        import jax
+
+        n_blocks, _ = flat.shape
+        out = np.zeros((n_blocks * R, 37), np.float32)
+        for b in range(n_blocks):
+            densify = jax.ops.segment_sum(
+                vals[b], flat[b], num_segments=R * 37 + 1,
+                indices_are_sorted=True,
+            )[: R * 37].reshape(R, 37)
+            out[b * R : (b + 1) * R] = np.asarray(densify)
+        assert np.allclose(out[:100], Xs.toarray(), atol=1e-6)
+        assert np.abs(out[100:]).max() == 0.0
+
     def test_pca_sparse_matches_dense(self, X):
         scores, loadings, ev, evr = pca(X, n_comps=5, n_iter=10)
         # dense reference PCA
