@@ -107,6 +107,30 @@ def synth():
     return rna, atac, prot, labels
 
 
+def _synth_cached():
+    """Disk-cache the synthetic dataset (210s to generate at 1M on one
+    core; ~10s to reload). Cache key = the size parameters."""
+    tag = f"{N}_{D_RNA}_{D_ATAC}_{D_PROT}"
+    path = f"/tmp/muon_e2e_synth_{tag}.npz"
+    if os.path.exists(path):
+        z = np.load(path)
+        rna = sp.csr_matrix(
+            (z["rd"], z["ri"], z["rp"]), shape=(N, D_RNA), copy=False
+        )
+        atac = sp.csr_matrix(
+            (z["ad"], z["ai"], z["ap"]), shape=(N, D_ATAC), copy=False
+        )
+        return rna, atac, z["prot"], z["labels"]
+    rna, atac, prot, labels = synth()
+    np.savez(
+        path,
+        rd=rna.data, ri=rna.indices, rp=rna.indptr,
+        ad=atac.data, ai=atac.indices, ap=atac.indptr,
+        prot=prot, labels=labels,
+    )
+    return rna, atac, prot, labels
+
+
 def main():
     import muon_tpu as mu
     from muon_tpu import atac as ac
@@ -114,7 +138,7 @@ def main():
 
     print(f"n_cells={N} rna={D_RNA} atac={D_ATAC} prot={D_PROT}", flush=True)
     with timed("synth(host)"):
-        rna_X, atac_X, prot_X, labels = synth()
+        rna_X, atac_X, prot_X, labels = _synth_cached()
 
     t_all0 = time.perf_counter()
 

@@ -82,6 +82,19 @@ def _rsvd_coo_fn():
     return f
 
 
+def _blocks_profitable(n: int, d: int, nnz: int, l: int) -> bool:
+    """Cost-model gate for the dense-row-block XᵀX path.
+
+    Blocks traffic per iteration ≈ 6·n·d bytes (bf16 densify write + two
+    matmul reads) at ~sequential bandwidth; the gather pair moves
+    ≈ 8·nnz·(l+1) bytes at random-access bandwidth (~3× slower).
+    Calibrated on the 100k×25k/22M-nnz bench matrix (299 vs 677 ms,
+    predicted 2×, measured 2.3×). Sparse inputs like a 1M-cell kNN graph
+    (density 4e-5) must stay on the gather path — the densify would touch
+    n·d cells regardless of nnz."""
+    return nnz >= 2_000_000 and n * d <= 4 * nnz * (l + 1)
+
+
 @lru_cache(maxsize=None)
 def _rsvd_blocks_fn():
     """Randomized SVD over the dense-row-block layout (see
@@ -183,7 +196,9 @@ def randomized_svd(
         from .sparse import block_layout, pick_block_rows
 
         if method == "blocks" or (
-            method == "auto" and X.nnz >= 2_000_000 and use_spmm_blocks()
+            method == "auto"
+            and _blocks_profitable(n, d, X.nnz, l)
+            and use_spmm_blocks()
         ):
             R = pick_block_rows(n, d)
             flat, vals = block_layout(X, R)
@@ -217,6 +232,97 @@ def randomized_svd(
 truncated_svd = randomized_svd
 
 
+@lru_cache(maxsize=None)
+def _pca_blocks_fn():
+    """Implicitly-centered PCA over the dense-row-block layout, one jitted
+    program. Centering folds analytically into the XᵀX subspace iteration:
+    with μ = cs/n (cs = column sums), (X−1μᵀ)ᵀ(X−1μᵀ)V = XᵀXV − cs(csᵀV)/n
+    — sparsity preserved, no gather (cf. pca() docstring for the reference
+    lineage)."""
+    jax, jnp = _jax()
+
+    @partial(jax.jit, static_argnames=("n", "k", "l", "n_iter", "seed", "R", "d"))
+    def f(flat, vals, cs, n, k, l, n_iter, seed, R, d):
+        n_blocks = flat.shape[0]
+        valsh = vals.astype(jnp.bfloat16)
+        mu_ = cs / n
+
+        def densify(vl, fl):
+            return jax.ops.segment_sum(
+                vl, fl, num_segments=R * d + 1, indices_are_sorted=True,
+            )[: R * d].reshape(R, d)
+
+        def atca(V):
+            Vh = V.astype(jnp.bfloat16)
+
+            def body(acc, args):
+                fl, vl = args
+                dense = densify(vl, fl)
+                z = jnp.dot(dense, Vh, preferred_element_type=jnp.float32)
+                return acc + jnp.dot(
+                    dense.T, z.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                ), None
+
+            acc, _ = jax.lax.scan(
+                body, jnp.zeros((d, V.shape[1]), jnp.float32), (flat, valsh)
+            )
+            return acc - cs[:, None] * (cs @ V)[None, :] / n
+
+        def xv_centered(V):
+            def body(_, args):
+                fl, vl = args
+                dense = densify(vl, fl)
+                return None, jnp.dot(dense, V, preferred_element_type=jnp.float32)
+
+            _, Y = jax.lax.scan(body, None, (flat, vals))
+            Y = Y.reshape(n_blocks * R, V.shape[1]) - (mu_ @ V)[None, :]
+            # pad rows (>= n) would otherwise carry -μᵀV into the Gram
+            mask = (jnp.arange(n_blocks * R) < n)[:, None]
+            return jnp.where(mask, Y, 0.0)
+
+        key = jax.random.PRNGKey(seed)
+        V = _cholqr(jax.random.normal(key, (d, l), dtype=jnp.float32))
+        V = jax.lax.fori_loop(0, n_iter, lambda _, V: _cholqr(atca(V)), V)
+        Y = xv_centered(V)
+        G = jnp.dot(Y.T, Y, preferred_element_type=jnp.float32)
+        lam, W = jnp.linalg.eigh(G)
+        lam, W = lam[::-1], W[:, ::-1]
+        s_ = jnp.sqrt(jnp.maximum(lam, 0.0))
+        U = Y @ (W / jnp.maximum(s_, 1e-30))
+        Vt = (V @ W).T
+        return U[:n, :k], s_[:k], Vt[:k]
+
+    return f
+
+
+@lru_cache(maxsize=None)
+def _pca_dense_fn():
+    jax, jnp = _jax()
+
+    @partial(jax.jit, static_argnames=("k", "l", "n_iter", "seed", "center"))
+    def f(X, k, l, n_iter, seed, center):
+        n, d = X.shape
+        mu = X.mean(axis=0)
+        Xc = X - mu if center else X
+        key = jax.random.PRNGKey(seed)
+        Om = jax.random.normal(key, (d, l), dtype=jnp.float32)
+        Q = _cholqr(Xc @ Om)
+
+        def body(_, Q):
+            Z = _cholqr(Xc.T @ Q)
+            return _cholqr(Xc @ Z)
+
+        Q = jax.lax.fori_loop(0, n_iter, body, Q)
+        B = (Xc.T @ Q).T  # (l, d)
+        Ub, s_, Vt = jnp.linalg.svd(B, full_matrices=False)
+        U = Q @ Ub
+        total_var = jnp.sum(Xc * Xc) / (n - 1)
+        return U[:, :k], s_[:k], Vt[:k], total_var
+
+    return f
+
+
 def pca(
     X,
     n_comps: int = 50,
@@ -244,6 +350,23 @@ def pca(
             - float(jnp.sum(mu**2)) * n / (n - 1)
         )
 
+        from .device import use_spmm_blocks
+        from .sparse import block_layout, pick_block_rows
+
+        k = min(n_comps, min(n, d) - 1 if center else min(n, d))
+        l = min(k + 10, min(n, d))
+        if _blocks_profitable(n, d, Xd.nnz, l) and use_spmm_blocks():
+            R = pick_block_rows(n, d)
+            flat, vals = block_layout(Xd, R)
+            cs = (mu * n) if center else jnp.zeros_like(mu)
+            U, s_, Vt = _pca_blocks_fn()(
+                flat, vals, cs, n=n, k=int(k), l=int(l),
+                n_iter=int(n_iter), seed=int(seed), R=R, d=d,
+            )
+            ev = (s_**2) / (n - 1)
+            evr = ev / total_var if total_var > 0 else ev * 0
+            return U * s_[None, :], Vt.T, ev, evr
+
         def mv(B):
             out = spmm(Xd, B)
             if center:
@@ -259,13 +382,22 @@ def pca(
     elif isinstance(X, DeviceCOO):
         raise TypeError("pass scipy sparse or dense for pca")
     else:
+        # dense input: one jitted CholQR2 power iteration (an eager
+        # per-op loop with jnp.linalg.qr serializes tall-skinny QR on TPU
+        # and pays tunnel dispatch latency per op — measured 104s for
+        # 1M×120 protein PCA, vs seconds jitted)
         X = jnp.asarray(X, dtype=jnp.float32)
         n, d = X.shape
-        mu = X.mean(axis=0)
-        Xc = X - mu if center else X
-        total_var = float(jnp.sum(Xc * Xc) / (n - 1))
-        mv = lambda B: Xc @ B     # noqa: E731
-        rmv = lambda B: Xc.T @ B  # noqa: E731
+        k = min(n_comps, min(n, d) - 1 if center else min(n, d))
+        l = min(k + 10, min(n, d))
+        U, s_, Vt, tv = _pca_dense_fn()(
+            X, k=int(k), l=int(l), n_iter=int(n_iter), seed=int(seed),
+            center=bool(center),
+        )
+        total_var = float(tv)
+        ev = (s_**2) / (n - 1)
+        evr = ev / total_var if total_var > 0 else ev * 0
+        return U * s_[None, :], Vt.T, ev, evr
 
     k = min(n_comps, min(n, d) - 1 if center else min(n, d))
     l = min(k + 10, min(n, d))

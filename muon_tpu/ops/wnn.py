@@ -252,20 +252,49 @@ def _bandwidth_fn():
 def _theta_fn():
     jax, jnp = _jax()
 
-    @jax.jit
-    def f(rep_full, rows1, NI2, nnd1, sigma1):
+    @partial(jax.jit, static_argnames=("block",))
+    def f(rep_full, rows1, NI2, nnd1, sigma1, block=32768):
         """θ affinity (reference muon/_core/preproc.py:480-503):
         r = mean of the FULL mod1 rep over mod2-neighbors (NI2 holds
         mod1-local indices into rep_full; query rows are rep_full[rows1]);
-        θ = exp(−max(‖x−r‖−nnd,0)/(σ−nnd))."""
-        valid = NI2 >= 0
-        NI2s = jnp.where(valid, NI2, 0)
-        gathered = rep_full[NI2s]  # (m, kk, d)
-        w = valid[..., None].astype(rep_full.dtype)
-        r = (gathered * w).sum(1) / jnp.maximum(w.sum(1), 1.0)
-        q = rep_full[rows1]
-        dist = jnp.sqrt(jnp.maximum(((q - r) ** 2).sum(-1), 0.0))
-        return jnp.exp(-jnp.maximum(dist - nnd1, 0.0) / (sigma1 - nnd1))
+        θ = exp(−max(‖x−r‖−nnd,0)/(σ−nnd)).
+
+        Chunked over cells: the (m, kk, d) neighbor gather is ~11GB at
+        1M cells in one piece (measured OOM); a lax.scan over row blocks
+        bounds it at (block, kk, d)."""
+        m, kk = NI2.shape
+        nb = max(1, -(-m // block))
+        m_pad = nb * block
+        NI2p = jnp.pad(NI2, ((0, m_pad - m), (0, 0)), constant_values=-1)
+        rows1p = jnp.pad(rows1, (0, m_pad - m))
+        nndp = jnp.pad(nnd1, (0, m_pad - m))
+        sigp = jnp.pad(sigma1, (0, m_pad - m), constant_values=2.0)
+
+        def body(_, args):
+            NI2b, rows1b, nndb, sigb = args
+            valid = NI2b >= 0
+            NI2s = jnp.where(valid, NI2b, 0)
+            gathered = rep_full[NI2s]  # (block, kk, d)
+            w = valid[..., None].astype(rep_full.dtype)
+            r = (gathered * w).sum(1) / jnp.maximum(w.sum(1), 1.0)
+            q = rep_full[rows1b]
+            dist = jnp.sqrt(jnp.maximum(((q - r) ** 2).sum(-1), 0.0))
+            th = jnp.exp(
+                -jnp.maximum(dist - nndb, 0.0)
+                / jnp.maximum(sigb - nndb, 1e-12)
+            )
+            return _, th
+
+        _, th = jax.lax.scan(
+            body, None,
+            (
+                NI2p.reshape(nb, block, kk),
+                rows1p.reshape(nb, block),
+                nndp.reshape(nb, block),
+                sigp.reshape(nb, block),
+            ),
+        )
+        return th.reshape(m_pad)[:m]
 
     return f
 

@@ -120,6 +120,27 @@ class TestSVD:
         assert np.allclose(out[:100], Xs.toarray(), atol=1e-6)
         assert np.abs(out[100:]).max() == 0.0
 
+    def test_pca_blocks_path_matches_dense(self):
+        # above the 2M-nnz auto gate -> exercises _pca_blocks_fn
+        rng = np.random.default_rng(11)
+        n, d, k = 45_000, 100, 5
+        Z = rng.normal(size=(n, k)) * np.array([12.0, 9.0, 7.0, 5.0, 3.0])
+        W = rng.normal(size=(k, d))
+        dense = np.maximum(Z @ W + rng.normal(size=(n, d)), 0.0)
+        Xs = sp.csr_matrix(dense.astype(np.float32))
+        assert Xs.nnz >= 2_000_000, Xs.nnz
+        scores, loadings, ev, evr = pca(Xs, n_comps=k, n_iter=8)
+        Xc = dense - dense.mean(axis=0)
+        Ur, sr, Vtr = np.linalg.svd(Xc, full_matrices=False)
+        ref_scores = Ur[:, :k] * sr[:k]
+        for i in range(k):
+            c = abs(
+                np.dot(np.asarray(scores)[:, i], ref_scores[:, i])
+                / (np.linalg.norm(scores[:, i]) * np.linalg.norm(ref_scores[:, i]))
+            )
+            assert c > 0.999, (i, c)
+        assert np.allclose(ev, (sr[:k] ** 2) / (n - 1), rtol=1e-3)
+
     def test_pca_sparse_matches_dense(self, X):
         scores, loadings, ev, evr = pca(X, n_comps=5, n_iter=10)
         # dense reference PCA
