@@ -137,6 +137,7 @@ def main():
     from muon_tpu import prot as pt
 
     print(f"n_cells={N} rna={D_RNA} atac={D_ATAC} prot={D_PROT}", flush=True)
+    mu.set_options(profile=True)  # per-substage wall timers (wnn/umap/...)
     with timed("synth(host)"):
         rna_X, atac_X, prot_X, labels = _synth_cached()
 

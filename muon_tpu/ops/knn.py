@@ -138,6 +138,7 @@ def knn(
     include_self: bool = True,
     approx: bool = False,
     method: str = "auto",
+    device_out: bool = False,
 ):
     """Exact kNN. Returns (indices (n, k+1), dists (n, k+1)) with self in
     column 0 (pynndescent convention the reference relies on,
@@ -156,7 +157,7 @@ def knn(
     ):
         from .ivf import ivf_knn
 
-        idx, dists = ivf_knn(X, k, metric=metric)
+        idx, dists = ivf_knn(X, k, metric=metric, device_out=device_out)
         if include_self:
             return idx, dists
         return idx[:, 1:], dists[:, 1:]

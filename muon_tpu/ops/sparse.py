@@ -202,7 +202,8 @@ def from_scipy(X, pad_multiple: int = 8192, dtype=None) -> DeviceCOO:
     cnts = (indptr[bounds[1:]].astype(np.int64)
             - indptr[bounds[:-1]].astype(np.int64))
     cnts[-1] += pad - nnz  # pad entries are clamped into the last block
-    _cache_put(_epad_hint, (id(row_j), R_hint), int(cnts.max()))
+    _cache_put(_epad_hint, (id(row_j), R_hint), int(cnts.max()),
+               evict_on=row_j)
 
     # perm_bycol stays lazy (None): a 25M-element device sort costs more
     # than unsorted transposed segment-sums unless the matrix is reused
@@ -698,15 +699,28 @@ def pick_block_rows(n: int, d: int, budget_bytes: int = 1 << 30) -> int:
 
 # bounded caches: built layouts + host-computed max-block-nnz hints, keyed
 # by the identity of the device data buffer (rebuilding costs ~0.6s at 22M
-# nnz on the tunnel — ~half of it the scalar d2h sync the hint avoids)
+# nnz on the tunnel — ~half of it the scalar d2h sync the hint avoids).
+# Entries are evicted when their SOURCE buffer is garbage-collected: a
+# cached (flat, vals) layout is GBs of HBM at production nnz, and keeping
+# it alive past its matrix measurably OOMs the downstream WNN stage.
 _layout_cache: dict = {}
 _epad_hint: dict = {}
 
 
-def _cache_put(cache, key, value, cap=8):
+def _cache_put(cache, key, value, cap=8, evict_on=None):
     if len(cache) >= cap:
         cache.pop(next(iter(cache)))
     cache[key] = value
+    if evict_on is not None:
+        import weakref
+
+        def _evict(cache=cache, key=key):
+            cache.pop(key, None)
+
+        try:
+            weakref.finalize(evict_on, _evict)
+        except TypeError:  # object doesn't support weakrefs: rely on cap
+            pass
 
 
 def block_layout(X: DeviceCOO, R: int):
@@ -738,7 +752,7 @@ def block_layout(X: DeviceCOO, R: int):
         X.data, X.row, X.col, R=R, d=X.n_cols, n_blocks=n_blocks,
         E_pad=E_pad,
     )
-    _cache_put(_layout_cache, ck, (flat, vals))
+    _cache_put(_layout_cache, ck, (flat, vals), evict_on=X.data)
     return flat, vals
 
 

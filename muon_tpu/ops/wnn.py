@@ -303,27 +303,21 @@ def _theta_fn():
 def _fusion_fn():
     jax, jnp = _jax()
 
-    @partial(jax.jit, static_argnames=("block", "metric"))
-    def f(acc, cand_glob, rep, local_rows, sigmas_local, w_col, block, metric):
+    @partial(jax.jit, static_argnames=("block", "metric"), donate_argnums=(0,))
+    def f(acc, cl, rep, cell_rows, sigmas_local, wc, block, metric):
         """acc[cell, c] += w[cell] * exp(−dist(rep[cell], rep[cand])/σ[cell])
         for candidates present in this modality (reference fusion loop,
-        muon/_core/preproc.py:571-601). cand_glob holds GLOBAL cell ids;
-        the modality-local translation happens here on device because the
-        (n, C) candidate matrix is ~160MB at 100k cells and the tunnel h2d
-        link moves ~50MB/s — global candidates upload once, each modality
-        ships only its (n,) local_rows map."""
-        cand_local = jnp.where(
-            cand_glob >= 0,
-            local_rows[jnp.where(cand_glob >= 0, cand_glob, 0)],
-            -1,
-        )
-        n, C = cand_local.shape
+        muon/_core/preproc.py:571-601). ``cl`` holds GLOBAL cell ids and is
+        PRE-PADDED to a block multiple on the row axis (padding it here
+        copied the 2.3GB candidate matrix per modality at 1M cells —
+        measured HBM exhaustion); global→local translation happens
+        per block, and ``acc`` is donated so the accumulator updates in
+        place across the modality loop. cell_rows maps global→mod-local
+        (-1 = absent), padded like cl."""
+        n_pad, C = cl.shape
         d = rep.shape[1]
-        nb = -(-n // block)
-        n_pad = nb * block
-        cl = jnp.pad(cand_local, ((0, n_pad - n), (0, 0)), constant_values=-1)
-        lr = jnp.pad(local_rows, (0, n_pad - n), constant_values=-1)
-        wc = jnp.pad(w_col, (0, n_pad - n))
+        nb = n_pad // block
+        lr = cell_rows
 
         # distances in bf16: the (block, C, d) candidate gather dominates
         # this kernel's HBM traffic (~3GB/modality at 100k cells in f32);
@@ -339,7 +333,12 @@ def _fusion_fn():
 
         def body(carry, i):
             acc = carry
-            cl_b = jax.lax.dynamic_slice_in_dim(cl, i * block, block, 0)
+            cl_bg = jax.lax.dynamic_slice_in_dim(cl, i * block, block, 0)
+            cl_b = jnp.where(
+                cl_bg >= 0,
+                lr[jnp.where(cl_bg >= 0, cl_bg, 0)],
+                -1,
+            )
             lr_b = jax.lax.dynamic_slice_in_dim(lr, i * block, block, 0)
             w_b = jax.lax.dynamic_slice_in_dim(wc, i * block, block, 0)
             ok_cell = lr_b >= 0
@@ -373,9 +372,8 @@ def _fusion_fn():
             )
             return acc, None
 
-        accp = jnp.pad(acc, ((0, n_pad - n), (0, 0)))
-        accp, _ = jax.lax.scan(body, accp, jnp.arange(nb))
-        return accp[:n]
+        acc, _ = jax.lax.scan(body, acc, jnp.arange(nb))
+        return acc
 
     return f
 
@@ -384,20 +382,35 @@ def _fusion_fn():
 def _cand_dedup_fn():
     jax, jnp = _jax()
 
-    @jax.jit
-    def f(cand):
-        cs = jnp.sort(cand, axis=1)
-        dup = jnp.concatenate(
-            [
-                jnp.zeros((cand.shape[0], 1), bool),
-                (cs[:, 1:] == cs[:, :-1]) & (cs[:, 1:] >= 0),
-            ],
-            axis=1,
+    @partial(jax.jit, static_argnames=("block",))
+    def f(cand, block=131072):
+        """Per-row dedup + compaction. Rows are independent, so the sort/
+        argsort runs over row blocks via lax.scan — one (n, C) sort with
+        its temporaries is ~15GB at 1M cells × C=600 (measured HBM
+        exhaustion); blocked it peaks at (block, C)."""
+        n, C = cand.shape
+        nb = max(1, -(-n // block))
+        n_pad = nb * block
+        cp = jnp.pad(cand, ((0, n_pad - n), (0, 0)), constant_values=-1)
+
+        def body(_, cb):
+            cs = jnp.sort(cb, axis=1)
+            dup = jnp.concatenate(
+                [
+                    jnp.zeros((cb.shape[0], 1), bool),
+                    (cs[:, 1:] == cs[:, :-1]) & (cs[:, 1:] >= 0),
+                ],
+                axis=1,
+            )
+            cs = jnp.where(dup, -1, cs)
+            order = jnp.argsort(cs < 0, axis=1, stable=True)
+            compact = jnp.take_along_axis(cs, order, axis=1)
+            return _, (compact, (compact >= 0).sum(axis=1).max())
+
+        _, (compact, nv) = jax.lax.scan(
+            body, None, cp.reshape(nb, block, C)
         )
-        cs = jnp.where(dup, -1, cs)
-        order = jnp.argsort(cs < 0, axis=1, stable=True)
-        compact = jnp.take_along_axis(cs, order, axis=1)
-        return compact, (compact >= 0).sum(axis=1).max()
+        return compact.reshape(n_pad, C)[:n], nv.max()
 
     return f
 
@@ -587,7 +600,8 @@ def wnn_neighbors(
         k_cand = min(m_per, rep.shape[0] - 1)
         # candidate pool is 10x oversampled vs the final k: bf16 cross
         # terms are plenty accurate for pool SELECTION and 4x faster
-        idx, _ = knn(rep, k_cand, metric=cmetric, approx=rep.shape[0] > 20000)
+        idx, _ = knn(rep, k_cand, metric=cmetric,
+                     approx=rep.shape[0] > 20000, device_out=True)
         idx = idx[:, 1:]  # drop self (device array)
         l2g_j = jnp.asarray(l2g[mod].astype(np.int32))
         glob = jnp.where(idx >= 0, l2g_j[jnp.where(idx >= 0, idx, 0)], -1)
@@ -601,22 +615,29 @@ def wnn_neighbors(
     maxc = max(int(nvalid), n_neighbors + 1)
     # bucket the trim width so downstream kernels compile per 64-bucket
     maxc = min(cand_j.shape[1], -(-maxc // 64) * 64)
-    cand_j = cand_j[:, :maxc]
 
     # -- fusion -----------------------------------------------------------------
-    scores_j = jnp.zeros((n_global, maxc), dtype=jnp.float32)
+    # trim + row-pad the candidate matrix ONCE (per-modality padding moved
+    # 2.3GB/mod through HBM at 1M cells); the accumulator is donated
+    # through the modality loop so only one (n_pad, maxc) f32 buffer lives
+    block = min(1024, max(64, n_global))
+    n_pad = -(-n_global // block) * block
+    cand_p = jnp.full((n_pad, maxc), -1, jnp.int32)
+    cand_p = cand_p.at[:n_global].set(cand_j[:, :maxc])
+    del cand_j
+    scores_j = jnp.zeros((n_pad, maxc), dtype=jnp.float32)
     for i, mod in enumerate(modalities):
       with stage(f"wnn/fusion[{mod}]"):
         rep = reps[mod]
-        block = max(64, min(2048, (1 << 27) // max(1, maxc * rep.shape[1] * 4)))
-        block = min(block, n_global)
         scores_j = _fusion_fn()(
             scores_j,
-            cand_j,
+            cand_p,
             jnp.asarray(rep),
-            jnp.asarray(g2l[mod]),
+            jnp.asarray(np.pad(g2l[mod], (0, n_pad - n_global),
+                               constant_values=-1)),
             jnp.asarray(sigmas[mod]),
-            jnp.asarray(weights[:, i].astype(np.float32)),
+            jnp.asarray(np.pad(weights[:, i].astype(np.float32),
+                               (0, n_pad - n_global))),
             block,
             metric if metric in ("euclidean", "cosine") else "euclidean",
         )
@@ -625,9 +646,9 @@ def wnn_neighbors(
     stage_final = stage("wnn/finalize")
     stage_final.__enter__()
     kfin = min(n_neighbors + 1, maxc)
-    idx_f, dist_f = _final_topk_fn()(scores_j, cand_j, kfin)
-    idx_f = np.asarray(idx_f)
-    dist_f = np.asarray(dist_f, dtype=np.float64)
+    idx_f, dist_f = _final_topk_fn()(scores_j, cand_p, kfin)
+    idx_f = np.asarray(idx_f)[:n_global]
+    dist_f = np.asarray(dist_f, dtype=np.float64)[:n_global]
 
     conn = compute_connectivities_umap(idx_f, dist_f, n_global, kfin)
     rows = np.repeat(np.arange(n_global), kfin)

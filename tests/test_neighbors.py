@@ -251,3 +251,14 @@ class TestIvfKnn:
         X, _ = clustered_data(n_per=400, n_clusters=4, d=8, seed=6)
         idx, dists = knn(X, 8, approx=True, method="ivf")
         assert idx.shape == (1600, 9)
+
+    def test_device_out_matches_host(self):
+        # device-resident scatter-back must agree exactly with the host
+        # numpy path (the d2h-free route the WNN candidate stage takes)
+        from muon_tpu.ops.ivf import ivf_knn
+
+        X, _ = clustered_data(n_per=1000, n_clusters=5, d=10, seed=7)
+        idx_h, d_h = ivf_knn(X, 12, n_clusters=32)
+        idx_d, d_d = ivf_knn(X, 12, n_clusters=32, device_out=True)
+        assert np.array_equal(np.asarray(idx_d), idx_h)
+        assert np.allclose(np.asarray(d_d), d_h, atol=1e-6)
