@@ -382,12 +382,15 @@ def _fusion_fn():
 def _cand_dedup_fn():
     jax, jnp = _jax()
 
-    @partial(jax.jit, static_argnames=("block",))
+    @partial(jax.jit, static_argnames=("block",), donate_argnums=(0,))
     def f(cand, block=131072):
         """Per-row dedup + compaction. Rows are independent, so the sort/
         argsort runs over row blocks via lax.scan — one (n, C) sort with
         its temporaries is ~15GB at 1M cells × C=600 (measured HBM
-        exhaustion); blocked it peaks at (block, C)."""
+        exhaustion); blocked it peaks at (block, C). The input is donated
+        and the output stays PADDED to the block multiple (trimming here
+        copied 2.4GB; padding rows are all −1 and downstream kernels mask
+        on that anyway)."""
         n, C = cand.shape
         nb = max(1, -(-n // block))
         n_pad = nb * block
@@ -410,7 +413,20 @@ def _cand_dedup_fn():
         _, (compact, nv) = jax.lax.scan(
             body, None, cp.reshape(nb, block, C)
         )
-        return compact.reshape(n_pad, C)[:n], nv.max()
+        return compact.reshape(n_pad, C), nv.max()
+
+    return f
+
+
+@lru_cache(maxsize=None)
+def _trim_pad_fn():
+    jax, jnp = _jax()
+
+    @partial(jax.jit, static_argnames=("n_pad", "maxc"), donate_argnums=(0,))
+    def f(cand, n_pad, maxc):
+        # dedup pads coarser (131072) than fusion (1024), so this is a
+        # pure donated slice — no fill, no second buffer beyond the output
+        return cand[:n_pad, :maxc]
 
     return f
 
@@ -608,8 +624,10 @@ def wnn_neighbors(
         cand_j = cand_j.at[
             l2g_j, i * m_per : i * m_per + glob.shape[1]
         ].set(glob)
+        del idx, glob  # (1M, 200) int32 buffers — keep HBM headroom
 
-    # dedup + compact per row, all on device
+    # dedup + compact per row, all on device (input donated; output stays
+    # padded to the dedup block multiple with all−1 rows past n_global)
     dedup = _cand_dedup_fn()
     cand_j, nvalid = dedup(cand_j)
     maxc = max(int(nvalid), n_neighbors + 1)
@@ -617,13 +635,13 @@ def wnn_neighbors(
     maxc = min(cand_j.shape[1], -(-maxc // 64) * 64)
 
     # -- fusion -----------------------------------------------------------------
-    # trim + row-pad the candidate matrix ONCE (per-modality padding moved
-    # 2.3GB/mod through HBM at 1M cells); the accumulator is donated
-    # through the modality loop so only one (n_pad, maxc) f32 buffer lives
+    # trim + row-pad the candidate matrix ONCE as a donated device slice
+    # (the eager trim+pad chain spiked ~9GB at 1M cells — measured OOM);
+    # the accumulator is donated through the modality loop so only one
+    # (n_pad, maxc) f32 buffer lives
     block = min(1024, max(64, n_global))
     n_pad = -(-n_global // block) * block
-    cand_p = jnp.full((n_pad, maxc), -1, jnp.int32)
-    cand_p = cand_p.at[:n_global].set(cand_j[:, :maxc])
+    cand_p = _trim_pad_fn()(cand_j, n_pad, maxc)
     del cand_j
     scores_j = jnp.zeros((n_pad, maxc), dtype=jnp.float32)
     for i, mod in enumerate(modalities):
