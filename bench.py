@@ -33,6 +33,21 @@ import time
 # in-process warm-up below already amortizes compiles within one run)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 
+
+def _enable_compile_cache():
+    # axon sitecustomize preimports jax, so the env var is read before this
+    # module runs — config.update is the only reliable switch (CLAUDE.md)
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+_enable_compile_cache()
+
 import numpy as np
 from scipy import sparse as sp
 

@@ -34,6 +34,25 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 
+
+def _enable_compile_cache():
+    # the axon sitecustomize preimports jax at interpreter startup, so env
+    # vars set at module scope are read too late — config.update is the
+    # only reliable switch (same pitfall as JAX_PLATFORMS, see CLAUDE.md).
+    # Persistent-cache hits turn the ~5-10min per-process recompile tax of
+    # this benchmark into seconds.
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ["JAX_COMPILATION_CACHE_DIR"],
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+_enable_compile_cache()
+
 import numpy as np
 from scipy import sparse as sp
 

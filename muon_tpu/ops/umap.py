@@ -256,8 +256,12 @@ def umap_embed(
         tsort_j = jnp.asarray(tsort.astype(np.int32))
         tseg_j = jnp.asarray(tails[tsort].astype(np.int32))
     # epochs run in chunks: one multi-minute XLA program can trip the TPU
-    # worker watchdog at 10⁵-cell scale, and chunking costs nothing
-    chunk = 25
+    # worker watchdog (measured: 25-epoch chunks at 1M cells / 40M edges
+    # CRASHED the worker, not a graceful OOM), and chunking costs only a
+    # dispatch per chunk. Budget ~100M edge-updates per program: 25 epochs
+    # at the 100k-cell scale, 2-3 at 1M cells.
+    E_eff = max(1, int(heads_j.shape[0]))
+    chunk = max(1, min(25, int(1.2e8 // E_eff)))
     for e0 in range(0, int(n_epochs), chunk):
         n_run = min(chunk, int(n_epochs) - e0)
         state = f(
