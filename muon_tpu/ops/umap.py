@@ -60,7 +60,9 @@ def spectral_init(graph: sp.csr_matrix, n_components: int, seed: int = 0):
     # init-grade accuracy: 4 subspace iterations separate the leading
     # eigenvectors plenty for a LAYOUT seed (200 SGD epochs follow); 12
     # iterations cost ~3x more and measurably change nothing downstream
-    U, s, Vt = randomized_svd(A.astype(np.float32), k=k, n_iter=4, seed=seed)
+    U, s, Vt = randomized_svd(
+        A.astype(np.float32), k=k, n_iter=4, seed=seed, symmetric=True
+    )
     U = np.asarray(U)
     # drop the trivial (constant) top eigenvector
     emb = U[:, 1 : n_components + 1]
@@ -69,6 +71,83 @@ def spectral_init(graph: sp.csr_matrix, n_components: int, seed: int = 0):
     rng = np.random.default_rng(seed)
     emb = emb + rng.normal(scale=1e-4, size=emb.shape)
     return emb.astype(np.float32)
+
+
+@lru_cache(maxsize=None)
+def _optimize_layout_fn():
+    """Symmetric-graph SGD epochs over the dense-row edge layout.
+
+    Every edge lives in one (row, slot) cell of an (n_rows, Dmax) grid
+    (heads with more than Dmax edges own several rows), built once on
+    host. An epoch is then pure GATHER + dense wide reduction:
+
+        t   = emb[tails_l]            # one big gather, the only one
+        h   = emb[row_head][:, None]  # n_rows gathers, broadcast
+        g   = clip(coeff · (h − t))   # (n_rows, Dmax, dim), fused
+        upd = segsum(g.sum(1), row_head)
+
+    No scatter and no long narrow segment_sum anywhere: both measured
+    ~2.4s/epoch at 40M edges for width-2 rows on this toolchain, vs
+    234ms for the equivalent gather. The due-schedule state (eons) lives
+    in layout shape; padding slots carry eps=∞ (never due)."""
+    jax, jnp = _jax()
+
+    @partial(jax.jit, static_argnames=("n_run", "n_epochs", "neg_rate"))
+    def f(emb, eons_l, tails_l, row_head, eps_l, epoch0, n_run, n_epochs,
+          a, b, gamma, init_alpha, neg_rate, key):
+        n = emb.shape[0]
+
+        def epoch_body(i, carry):
+            emb, eons_l, key = carry
+            epoch = epoch0 + i
+            alpha = init_alpha * (1.0 - epoch / n_epochs)
+            due = eons_l <= (epoch + 1.0)            # (n_rows, Dmax)
+
+            nr, Dm = tails_l.shape
+            t = emb[tails_l.reshape(-1)].reshape(nr, Dm, -1)
+            h = emb[row_head][:, None, :]            # (n_rows, 1, dim)
+            diff = h - t
+            d2 = (diff * diff).sum(-1)
+            grad_coeff = (-2.0 * a * b * d2 ** (b - 1.0)) / (
+                a * d2**b + 1.0
+            )
+            grad_coeff = jnp.where(d2 > 0, grad_coeff, 0.0)
+            g = jnp.clip(grad_coeff[..., None] * diff, -4.0, 4.0)
+            g = jnp.where(due[..., None], g, 0.0)
+            row_g = g.sum(axis=1)                    # (n_rows, dim) wide
+            row_dc = due.sum(axis=1).astype(emb.dtype)
+            agg = jax.ops.segment_sum(
+                jnp.concatenate([row_g, row_dc[:, None]], axis=1),
+                row_head, num_segments=n, indices_are_sorted=True,
+            )
+            upd_h = agg[:, :-1]
+            dc = agg[:, -1]
+
+            key, sub = jax.random.split(key)
+            negs = jax.random.randint(sub, (n, neg_rate), 0, n)
+            vneg = emb[negs.reshape(-1)].reshape(n, neg_rate, -1)
+            diffn = emb[:, None, :] - vneg
+            d2n = (diffn * diffn).sum(-1)
+            coeff = (2.0 * gamma * b) / (
+                (0.001 + d2n) * (a * d2n**b + 1.0)
+            )
+            gn = jnp.where(
+                d2n[..., None] > 0,
+                jnp.clip(coeff[..., None] * diffn, -4.0, 4.0),
+                4.0,
+            )
+            self_hit = negs == jnp.arange(n, dtype=negs.dtype)[:, None]
+            gn = jnp.where(self_hit[..., None], 0.0, gn)
+            upd_neg = gn.sum(axis=1) * dc[:, None]
+
+            # symmetric fold: tail update ≡ head update (see _optimize_fn)
+            emb = emb + alpha * (2.0 * upd_h + upd_neg)
+            eons_l = jnp.where(due, eons_l + eps_l, eons_l)
+            return (emb, eons_l, key)
+
+        return jax.lax.fori_loop(0, n_run, epoch_body, (emb, eons_l, key))
+
+    return f
 
 
 @lru_cache(maxsize=None)
@@ -135,7 +214,10 @@ def _optimize_fn():
             )
             key, sub = jax.random.split(key)
             negs = jax.random.randint(sub, (n, neg_rate), 0, n)
-            vneg = emb[negs]                        # (n, R, dim)
+            # flatten: a 2D-indexed gather from a narrow table lowered to
+            # a ~40× slower path on this toolchain (12.5s vs 0.3s for the
+            # same 5M rows, measured)
+            vneg = emb[negs.reshape(-1)].reshape(n, neg_rate, -1)
             diffn = emb[:, None, :] - vneg
             d2n = (diffn * diffn).sum(-1)           # (n, R)
             coeff = (2.0 * gamma * b) / (
@@ -244,23 +326,64 @@ def umap_embed(
                             seed=random_state if isinstance(random_state, int) else 0)
 
     key = jax.random.PRNGKey(random_state if isinstance(random_state, int) else 0)
+    # epochs run in chunks: one multi-minute XLA program can trip the TPU
+    # worker watchdog (measured: 25-epoch chunks at 1M cells / 40M edges
+    # CRASHED the worker, not a graceful OOM), and chunking costs only a
+    # dispatch per chunk.
+    E_eff = max(1, len(heads))
+
+    if symmetric:
+        # dense-row edge layout (see _optimize_layout_fn): heads with more
+        # than Dmax edges own several rows so every edge has one (row,
+        # slot) cell. O(E) numpy, built once per graph.
+        Dmax = 64
+        deg = np.bincount(heads, minlength=n).astype(np.int64)
+        rows_per_head = np.maximum(
+            -(-deg // Dmax), (deg > 0).astype(np.int64)
+        )
+        row_start = np.concatenate([[0], np.cumsum(rows_per_head)])
+        n_rows = int(row_start[-1])
+        n_rows_pad = max(64, -(-n_rows // 4096) * 4096)
+        row_head = np.full(n_rows_pad, n - 1, np.int32)
+        row_head[:n_rows] = np.repeat(
+            np.arange(n, dtype=np.int32), rows_per_head
+        )
+        edge_start = np.concatenate([[0], np.cumsum(deg)])
+        slot = np.arange(len(heads), dtype=np.int64) - edge_start[heads]
+        dest = row_start[heads] * Dmax + slot
+        tails_l = np.zeros(n_rows_pad * Dmax, np.int32)
+        tails_l[dest] = tails
+        eps_l = np.full(n_rows_pad * Dmax, np.inf, np.float32)
+        eps_l[dest] = epochs_per_sample
+        f = _optimize_layout_fn()
+        state = (
+            jnp.asarray(emb),
+            jnp.asarray(eps_l.reshape(n_rows_pad, Dmax)),
+            key,
+        )
+        tails_lj = jnp.asarray(tails_l.reshape(n_rows_pad, Dmax))
+        row_head_j = jnp.asarray(row_head)
+        eps_lj = state[1]
+        chunk = max(1, min(25, int(3.0e8 // E_eff)))
+        for e0 in range(0, int(n_epochs), chunk):
+            n_run = min(chunk, int(n_epochs) - e0)
+            state = f(
+                state[0], state[1], tails_lj, row_head_j, eps_lj,
+                float(e0), int(n_run), int(n_epochs), float(a), float(b),
+                float(gamma), float(alpha), int(negative_sample_rate),
+                state[2],
+            )
+        return np.asarray(state[0])
+
+    # asymmetric fallback: narrow edge-list kernel with an explicit
+    # tail-sorted pass
     f = _optimize_fn()
     eps = jnp.asarray(epochs_per_sample)
     state = (jnp.asarray(emb), eps, key)
     heads_j, tails_j = jnp.asarray(heads), jnp.asarray(tails)
-    if symmetric:
-        # tail pass folded into the (doubled) head pass — no permutation
-        tsort_j = tseg_j = jnp.zeros((1,), jnp.int32)
-    else:
-        tsort = np.argsort(tails, kind="stable")
-        tsort_j = jnp.asarray(tsort.astype(np.int32))
-        tseg_j = jnp.asarray(tails[tsort].astype(np.int32))
-    # epochs run in chunks: one multi-minute XLA program can trip the TPU
-    # worker watchdog (measured: 25-epoch chunks at 1M cells / 40M edges
-    # CRASHED the worker, not a graceful OOM), and chunking costs only a
-    # dispatch per chunk. Budget ~100M edge-updates per program: 25 epochs
-    # at the 100k-cell scale, 2-3 at 1M cells.
-    E_eff = max(1, int(heads_j.shape[0]))
+    tsort = np.argsort(tails, kind="stable")
+    tsort_j = jnp.asarray(tsort.astype(np.int32))
+    tseg_j = jnp.asarray(tails[tsort].astype(np.int32))
     chunk = max(1, min(25, int(1.2e8 // E_eff)))
     for e0 in range(0, int(n_epochs), chunk):
         n_run = min(chunk, int(n_epochs) - e0)
