@@ -276,6 +276,13 @@ class BackedMatrix:
         """Read only the requested rows from disk; columns subset in memory
         afterwards (rows are the long axis: cells)."""
         oidx = np.asarray(oidx, dtype=np.int64)
+        # normalize negative rows up front: indptr[-1]=nnz / h5py fancy
+        # reads would otherwise corrupt or reject them
+        oidx = np.where(oidx < 0, oidx + self.shape[0], oidx)
+        if vidx is not None:
+            vidx = np.asarray(vidx)
+            if vidx.dtype.kind != "b":
+                vidx = np.where(vidx < 0, vidx + self.shape[1], vidx)
         full_v = vidx is None or (
             len(vidx) == self.shape[1]
             and np.array_equal(vidx, np.arange(self.shape[1]))

@@ -10,7 +10,7 @@ pysam) into device aggregation kernels (muon_tpu.ops.pileup).
 from __future__ import annotations
 
 import os
-from contextlib import suppress
+
 from typing import Optional, Union
 from warnings import warn
 
@@ -93,70 +93,131 @@ def lsi(
 # ---------------------------------------------------------------------------
 
 
+def _region_from_underscored(token: str) -> str:
+    """``chr1_840000_840700`` → ``chr1:840000-840700`` (split at the first
+    two underscores only; anything after stays inside the end field)."""
+    seqname, _, span = token.partition("_")
+    lo, _, hi = span.partition("_")
+    return f"{seqname}:{lo}-{hi}"
+
+
+def _split_field(cell) -> list:
+    """Fan one table cell out into its ``;``-separated parts (a non-string
+    cell, e.g. an already-numeric distance, is a single part)."""
+    if isinstance(cell, str):
+        return cell.split(";")
+    return [cell]
+
+
+def _to_nullable_int(parts: list):
+    """Parse distance tokens to a nullable-Int64 array; blanks and NaN/None
+    become ``pd.NA``. Falls back to the raw objects if any token is not an
+    integer literal (matching the tolerant reference behavior)."""
+    vals = []
+    for p in parts:
+        if p is None or (isinstance(p, float) and np.isnan(p)) or p is pd.NA:
+            vals.append(pd.NA)
+        elif isinstance(p, str):
+            vals.append(pd.NA if p.strip() == "" else p)
+        else:
+            vals.append(p)
+    try:
+        return pd.array(
+            [pd.NA if v is pd.NA else int(v) for v in vals], dtype="Int64"
+        )
+    except (ValueError, TypeError):
+        return np.asarray(vals, dtype=object)
+
+
 def add_peak_annotation(
     data: Union[AnnData, MuData],
     annotation,
     sep: str = "\t",
     return_annotation: bool = False,
 ):
-    """Parse a CellRanger peak annotation table into
-    ``uns["atac"]["peak_annotation"]`` (reference muon/_atac/tools.py:83-165):
-    explodes ``;``-separated gene/distance/peak_type records, reconstructs
-    ``chrom:start-end`` peak ids, keeps missing distances as nullable Int64.
+    """Parse a CellRanger ``peak_annotation.tsv`` table into
+    ``uns["atac"]["peak_annotation"]``.
+
+    Behavioral contract (reference muon/_atac/tools.py:83-165): one output
+    row per (peak, gene) pair — ``;``-separated gene/distance/peak_type
+    records fan out into individual rows; peak ids are normalized to
+    ``chrom:start-end``; distances are nullable Int64 with missing values
+    as ``pd.NA``; the result is indexed by gene.
     """
     adata = _get_atac(data)
 
-    if isinstance(annotation, pd.DataFrame):
-        pa = annotation.copy()
-    else:
-        pa = pd.read_csv(annotation, sep=sep)
+    table = (
+        annotation.copy()
+        if isinstance(annotation, pd.DataFrame)
+        else pd.read_csv(annotation, sep=sep)
+    )
 
-    pa = pa.convert_dtypes()
-
-    if "peak" not in pa.columns:
-        if "chrom" in pa.columns and "start" in pa.columns and "end" in pa.columns:
-            pa["peak"] = (
-                pa["chrom"].astype(str)
-                + ":"
-                + pa["start"].astype(str)
-                + "-"
-                + pa["end"].astype(str)
-            )
-        else:
-            raise AttributeError(
-                "Peak annotation does not contain neither peak column nor "
-                "chrom, start, and end columns."
-            )
+    # -- normalize peak identifiers ------------------------------------
+    if "peak" in table.columns:
+        peak_ids = [
+            _region_from_underscored(p) if isinstance(p, str) else p
+            for p in table["peak"]
+        ]
+    elif {"chrom", "start", "end"}.issubset(table.columns):
+        peak_ids = [
+            f"{c}:{s}-{e}"
+            for c, s, e in zip(table["chrom"], table["start"], table["end"])
+        ]
     else:
-        # chrX_NNNNN_NNNNN -> chrX:NNNNN-NNNNN
-        pa["peak"] = (
-            pa["peak"].str.replace("_", ":", n=1).str.replace("_", "-", n=1)
+        raise AttributeError(
+            "Peak annotation does not contain neither peak column nor "
+            "chrom, start, and end columns."
         )
 
-    # split multi-entry records into individual rows
-    if pd.api.types.is_string_dtype(pa["distance"]):
-        pa = pa.set_index("peak")
-        pa_g = pa["gene"].str.split(";").explode()
-        pa_d = pa["distance"].str.split(";").explode().astype("Int64")
-        pa_p = pa["peak_type"].str.split(";").explode()
-        pa = pd.concat((pa_g, pa_d, pa_p), axis=1).reset_index()
-    else:
-        pa = pa[["peak", "gene", "distance", "peak_type"]]
+    # -- fan multi-entry records out row by row ------------------------
+    out_peak: list = []
+    out_gene: list = []
+    out_dist: list = []
+    out_type: list = []
+    genes_in = table["gene"] if "gene" in table.columns else [""] * len(table)
+    dists_in = (
+        table["distance"] if "distance" in table.columns else [pd.NA] * len(table)
+    )
+    types_in = (
+        table["peak_type"] if "peak_type" in table.columns else [""] * len(table)
+    )
+    for pid, g, d, t in zip(peak_ids, genes_in, dists_in, types_in):
+        gs, ds, ts = _split_field(g), _split_field(d), _split_field(t)
+        width = max(len(gs), len(ds), len(ts))
+        if len(gs) == 1 and width > 1:
+            gs = gs * width
+        if len(ds) == 1 and width > 1:
+            ds = ds * width
+        if len(ts) == 1 and width > 1:
+            ts = ts * width
+        out_peak.extend([pid] * width)
+        out_gene.extend(gs)
+        out_dist.extend(ds)
+        out_type.extend(ts)
 
-    with suppress(ValueError, TypeError):
-        pa["distance"] = pa["distance"].astype("Int64")
+    def _clean_str(xs):
+        return np.asarray(
+            [
+                ""
+                if x is None or x is pd.NA or (isinstance(x, float) and np.isnan(x))
+                else x
+                for x in xs
+            ],
+            dtype=object,
+        )
 
-    for col in ("peak", "gene", "peak_type"):
-        pa[col] = pa[col].fillna("").astype(object)
+    result = pd.DataFrame(
+        {
+            "peak": _clean_str(out_peak),
+            "distance": _to_nullable_int(out_dist),
+            "peak_type": _clean_str(out_type),
+        },
+        index=pd.Index(_clean_str(out_gene), name="gene"),
+    )
 
-    pa = pa.set_index("gene")
-
-    if "atac" not in adata.uns:
-        adata.uns["atac"] = dict()
-    adata.uns["atac"]["peak_annotation"] = pa
-
+    adata.uns.setdefault("atac", dict())["peak_annotation"] = result
     if return_annotation:
-        return pa
+        return result
 
 
 def add_peak_annotation_gene_names(
@@ -193,29 +254,33 @@ def add_peak_annotation_gene_names(
     if join_on is None:
         join_on = "gene_ids"
 
-    gene_id_name = (
-        gene_names.loc[:, [join_on]]
-        .rename_axis("gene_name")
-        .reset_index(drop=False)
-        .set_index(join_on)
-    )
-
-    # annotation indexed by gene ids? if not, maybe it's gene names already
-    if len(np.intersect1d(ann.index.values, gene_id_name.index.values)) == 0:
-        if len(np.intersect1d(ann.index.values, gene_names.index.values)) != 0:
-            ann.index.names = ["gene_name"]
+    # Does the annotation index actually hold gene IDs? If it already holds
+    # display names there is nothing to translate — just fix the axis label.
+    known_ids = set(map(str, gene_names[join_on].to_numpy()))
+    hits_ids = any(str(g) in known_ids for g in ann.index)
+    if not hits_ids:
+        if ann.index.isin(gene_names.index).any():
+            ann = ann.rename_axis("gene_name")
             adata.uns["atac"]["peak_annotation"] = ann
-        if return_annotation:
-            return ann
-        return None
+        return ann if return_annotation else None
 
-    ann = ann.join(gene_id_name).rename_axis(join_on).reset_index(drop=False)
-    ann.loc[ann["gene_name"].isnull(), "gene_name"] = ""
-    ann = ann.set_index("gene_name")
-    adata.uns["atac"]["peak_annotation"] = ann
+    # id → display-name lookup; a left merge keeps annotation row order and
+    # (like the reference's index join) duplicates rows for duplicated ids
+    lookup = pd.DataFrame(
+        {
+            join_on: gene_names[join_on].to_numpy(),
+            "gene_name": gene_names.index.to_numpy(),
+        }
+    )
+    flat = ann.reset_index()
+    flat = flat.rename(columns={flat.columns[0]: join_on})
+    translated = flat.merge(lookup, on=join_on, how="left")
+    translated["gene_name"] = translated["gene_name"].fillna("")
+    translated = translated.set_index("gene_name")
+    adata.uns["atac"]["peak_annotation"] = translated
 
     if return_annotation:
-        return ann
+        return translated
 
 
 def add_genes_peaks_groups(

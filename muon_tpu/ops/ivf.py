@@ -167,7 +167,12 @@ def _scatter_back_fn():
         end-to-end."""
         ok = qflat >= 0
         rows = jnp.where(ok, order_j[jnp.where(ok, qflat, 0)], n)
+        dflat = dvals.reshape(-1, k1)
         src_idx = order_j[pos.reshape(-1, k1)]
+        # slots that never saw a real candidate carry dist=+inf and clamped
+        # garbage positions — mask them to -1 so downstream >=0 masks drop
+        # them (self carries the -inf marker and must survive)
+        src_idx = jnp.where(dflat == jnp.inf, -1, src_idx)
         idx_full = jnp.full((n + 1, k1), -1, jnp.int32)
         idx_full = idx_full.at[rows].set(src_idx, mode="drop")
         d_full = jnp.zeros((n + 1, k1), jnp.float32)
@@ -215,6 +220,7 @@ def ivf_knn(
 
     C = n_clusters or int(2 ** round(np.log2(max(np.sqrt(n), 16))))
     C = min(C, max(16, n // 64))
+    C = max(1, min(C, n))  # rng.choice(n, C, replace=False) needs C <= n
     rng = np.random.default_rng(seed)
     init_idx = jnp.asarray(
         rng.choice(n, size=C, replace=False).astype(np.int32)
@@ -269,7 +275,12 @@ def ivf_knn(
     item_q, item_ppos, item_pcnt = [], [], []
     for ci in range(len(chunk_start)):
         c = int(chunk_cluster[ci])
-        pcs = probe_chunks[c][:P_max]
+        pcs = list(probe_chunks[c][:P_max])
+        if ci not in pcs:
+            # P_max truncation of a heavily skewed home cluster must never
+            # drop the query block's OWN chunk — self-in-col-0 is a contract
+            # downstream (_scatter_back d[:,0]=0, wnn idx[:,1:]).
+            pcs[-1] = ci
         ppos = np.full(P_max, -1, np.int32)
         pcnt = np.zeros(P_max, np.int32)
         ppos[: len(pcs)] = chunk_start[pcs]
@@ -311,8 +322,11 @@ def ivf_knn(
     idx_out = np.empty((n, k + 1), np.int32)
     d_out = np.empty((n, k + 1), np.float32)
     orig_rows = order[qflat[keep]]
-    idx_out[orig_rows] = order[pos[keep]]
-    d_out[orig_rows] = dvals[keep]
+    src = order[pos[keep]]
+    dk = dvals[keep]
+    src[dk == np.inf] = -1  # insufficient-candidate slots → -1 (keep -inf self)
+    idx_out[orig_rows] = src
+    d_out[orig_rows] = dk
     d_out[:, 0] = 0.0  # self
     if metric == "euclidean":
         d_out[:, 1:] = np.sqrt(np.maximum(d_out[:, 1:], 0.0))

@@ -136,6 +136,12 @@ def from_scipy(X, pad_multiple: int = 8192, dtype=None) -> DeviceCOO:
         ):
             return dX
     X = X.tocsr()
+    # The dense-row-block path (block_layout densify) and the transposed
+    # segment kernels rely on column indices being sorted within each row
+    # (indices_are_sorted=True). scipy CSR does not guarantee this for
+    # hand-built (data, indices, indptr) triples — canonicalize here once.
+    if not X.has_sorted_indices:
+        X.sort_indices()
     n, d = X.shape
     nnz = X.nnz
     pad = max(pad_multiple, ((nnz + pad_multiple - 1) // pad_multiple) * pad_multiple)
@@ -305,6 +311,22 @@ def from_backed(
         bn = e - s
         d_np = np.asarray(d_ds[s:e])
         i_np = np.asarray(i_ds[s:e])
+        # Canonicalize: third-party h5 files may store unsorted column
+        # indices within rows; the block-densify path assumes sortedness.
+        if bn > 1:
+            drops = np.flatnonzero(np.diff(i_np.astype(np.int64)) < 0) + 1
+            if drops.size:
+                local_starts = (
+                    indptr[r0 + 1 : r1] - indptr[r0]
+                ).astype(np.int64)
+                if not np.isin(drops, local_starts).all():
+                    rowid = np.repeat(
+                        np.arange(r1 - r0, dtype=np.int64),
+                        np.diff(indptr[r0 : r1 + 1]).astype(np.int64),
+                    )
+                    order = np.lexsort((i_np, rowid))
+                    d_np = d_np[order]
+                    i_np = i_np[order]
         # narrow the value wire format when the block is small-int
         wire_val = None
         if d_np.dtype.kind in "iu" or (
@@ -390,6 +412,7 @@ class DeviceBackedCSR(_backed_matrix_cls()):
     def _subset(self, oidx, vidx=None):
         jax, jnp = _jax()
         oidx = np.asarray(oidx, dtype=np.int64)
+        oidx = np.where(oidx < 0, oidx + self.shape[0], oidx)
         if len(oidx) >= 0.5 * self.shape[0]:
             M = self.to_memory()[oidx]
         else:
