@@ -1195,9 +1195,17 @@ def _init_state(
         "alpha_z": jnp.ones((G, K), jnp.float32),
         "tau": [],
         "ln_tau": [],
-        "theta_ln": jnp.full((M, K), math.log(0.5), jnp.float32),
-        "theta_ln1m": jnp.full((M, K), math.log(0.5), jnp.float32),
-        "theta_mean": jnp.full((M, K), 0.5, jnp.float32),
+        # optimistic slab-probability start (mofapy2 initializes E[θ] at 1,
+        # mofapy2 build_model/init_model initTheta qE=1.): a θ=0.5 start
+        # closes the W gate on the very first sweep — with random Z the
+        # initial evidence term is ≈ −½·ln(τ·Σz²) ≈ −3, so s collapses to
+        # ~0.06, θ then LEARNS from the collapsed s and every factor dies
+        # (reproduced on clean low-noise data; tau stalls at 1/var(Y)).
+        # θ₀=0.99 keeps the gate open until W locks onto real signal; dead
+        # factors still shrink because θ is learned per (view, factor).
+        "theta_ln": jnp.full((M, K), math.log(0.99), jnp.float32),
+        "theta_ln1m": jnp.full((M, K), math.log(0.01), jnp.float32),
+        "theta_mean": jnp.full((M, K), 0.99, jnp.float32),
     }
     if config.spikeslab_factors:
         state["ssz_on"] = jnp.zeros((), jnp.float32)

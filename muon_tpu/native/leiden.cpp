@@ -54,17 +54,34 @@ int multiplex_local_move(
   std::vector<int64_t> order(n);
   for (int64_t i = 0; i < n; i++) order[i] = i;
   std::mt19937_64 rng(seed);
+  // initial shuffled visit order (Fisher-Yates)
+  for (int64_t i = n - 1; i > 0; i--) {
+    int64_t j = (int64_t)(rng() % (uint64_t)(i + 1));
+    std::swap(order[i], order[j]);
+  }
+
+  // Queue-based local moving (the "fast local move" of Traag et al.
+  // 2019, as in leidenalg): after the initial sweep, only nodes whose
+  // neighborhood changed are revisited. On kNN graphs this visits ~2-4n
+  // nodes total where the full-sweep variant re-scanned all n edges per
+  // pass until quiescent (measured 180s -> target well under half at
+  // 1M cells x 3 layers).
+  std::vector<int64_t> queue(order);
+  std::vector<uint8_t> in_q(n, 1);
+  size_t head = 0;
+  const uint64_t budget = (uint64_t)max_passes * (uint64_t)n;  // safety cap
+  uint64_t visits = 0;
 
   int improved_any = 0;
-  for (int pass = 0; pass < max_passes; pass++) {
-    // Fisher-Yates shuffle
-    for (int64_t i = n - 1; i > 0; i--) {
-      int64_t j = (int64_t)(rng() % (uint64_t)(i + 1));
-      std::swap(order[i], order[j]);
-    }
-    int64_t moved = 0;
-    for (int64_t oi = 0; oi < n; oi++) {
-      const int64_t i = order[oi];
+  {
+    for (; head < queue.size() && visits < budget; visits++) {
+      if (head > (size_t)n && head * 2 > queue.size()) {
+        // compact the ring to bound memory
+        queue.erase(queue.begin(), queue.begin() + head);
+        head = 0;
+      }
+      const int64_t i = queue[head++];
+      in_q[i] = 0;
       const int64_t ci = labels[i];
 
       // accumulate k_{i->comm} per layer

@@ -269,6 +269,8 @@ def umap_embed(
 ):
     """Optimize a low-dimensional embedding of a fuzzy simplicial graph."""
     jax, jnp = _jax()
+    from ..utils.profiling import stage
+
     n = graph.shape[0]
     graph = graph.tocoo()
     if a is None or b is None:
@@ -322,8 +324,11 @@ def umap_embed(
         rng = np.random.default_rng(random_state)
         emb = rng.uniform(-10, 10, size=(n, n_components)).astype(np.float32)
     else:
-        emb = spectral_init(sp.csr_matrix(graph), n_components,
-                            seed=random_state if isinstance(random_state, int) else 0)
+        with stage("umap/spectral_init"):
+            emb = spectral_init(
+                sp.csr_matrix(graph), n_components,
+                seed=random_state if isinstance(random_state, int) else 0,
+            )
 
     key = jax.random.PRNGKey(random_state if isinstance(random_state, int) else 0)
     # epochs run in chunks: one multi-minute XLA program can trip the TPU
@@ -336,6 +341,8 @@ def umap_embed(
         # dense-row edge layout (see _optimize_layout_fn): heads with more
         # than Dmax edges own several rows so every edge has one (row,
         # slot) cell. O(E) numpy, built once per graph.
+        stage_build = stage("umap/edge_layout(host)")
+        stage_build.__enter__()
         Dmax = 64
         deg = np.bincount(heads, minlength=n).astype(np.int64)
         rows_per_head = np.maximum(
@@ -364,16 +371,19 @@ def umap_embed(
         tails_lj = jnp.asarray(tails_l.reshape(n_rows_pad, Dmax))
         row_head_j = jnp.asarray(row_head)
         eps_lj = state[1]
+        stage_build.__exit__(None, None, None)
         chunk = max(1, min(25, int(3.0e8 // E_eff)))
-        for e0 in range(0, int(n_epochs), chunk):
-            n_run = min(chunk, int(n_epochs) - e0)
-            state = f(
-                state[0], state[1], tails_lj, row_head_j, eps_lj,
-                float(e0), int(n_run), int(n_epochs), float(a), float(b),
-                float(gamma), float(alpha), int(negative_sample_rate),
-                state[2],
-            )
-        return np.asarray(state[0])
+        with stage(f"umap/sgd_{n_epochs}epochs"):
+            for e0 in range(0, int(n_epochs), chunk):
+                n_run = min(chunk, int(n_epochs) - e0)
+                state = f(
+                    state[0], state[1], tails_lj, row_head_j, eps_lj,
+                    float(e0), int(n_run), int(n_epochs), float(a), float(b),
+                    float(gamma), float(alpha), int(negative_sample_rate),
+                    state[2],
+                )
+        with stage("umap/download"):
+            return np.asarray(state[0])
 
     # asymmetric fallback: narrow edge-list kernel with an explicit
     # tail-sorted pass

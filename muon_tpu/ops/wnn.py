@@ -235,21 +235,29 @@ def _bandwidth_fn():
             )
             score = jnp.where(bad, N_total + 1.0, score)
             # prefer-unique: duplicate candidates must not be picked twice.
-            # Pairwise lower-triangular compare — device sorts are slow on
-            # TPU and this (b, C, C) bool reduce measured 0.4s vs ~6s for
-            # the argsort+scatter it replaces (identical output)
-            eq = cand[:, None, :] == cand[:, :, None]
-            tri = jnp.tril(jnp.ones((C, C), bool), k=-1)
-            dup = (eq & tri[None]).any(-1)
-            score = jnp.where(dup, N_total + 1.0, score)
-
-            _, top_idx = jax.lax.top_k(-score, n_bw)
+            # Oversample the top-k 4×, then dedup only among the winners —
+            # the full-candidate (b, C, C) pairwise compare this replaces
+            # was ~half the kernel's VPU work at C≈400 (duplicates carry
+            # IDENTICAL scores, so copies sort adjacent and surviving-first
+            # reproduces the full dedup unless >3·n_bw of the leading slots
+            # are duplicates — then σ averages over the unique subset).
+            osz = min(C, 4 * n_bw)
+            _, top_idx = jax.lax.top_k(-score, osz)
+            top_c = jnp.take_along_axis(cand, top_idx, axis=1)
             top_e = jnp.take_along_axis(eucl, top_idx, axis=1)
-            top_bad = jnp.take_along_axis(score, top_idx, axis=1) >= N_total + 1.0
+            top_bad = (
+                jnp.take_along_axis(score, top_idx, axis=1) >= N_total + 1.0
+            )
+            eq = top_c[:, None, :] == top_c[:, :, None]
+            tri = jnp.tril(jnp.ones((osz, osz), bool), k=-1)
+            dup = (eq & tri[None]).any(-1)
+            invalid = top_bad | dup
+            keep = (~invalid) & (jnp.cumsum(~invalid, axis=1) <= n_bw)
+            cnt = keep.sum(1)
             # fall back to plain neighbor distances if no valid candidates
             sig = jnp.where(
-                (~top_bad).sum(1) > 0,
-                jnp.where(top_bad, 0.0, top_e).sum(1) / jnp.maximum((~top_bad).sum(1), 1),
+                cnt > 0,
+                (top_e * keep).sum(1) / jnp.maximum(cnt, 1),
                 eucl[:, :kk].mean(1),
             )
             return carry, sig
@@ -312,80 +320,64 @@ def _theta_fn():
 
 
 @lru_cache(maxsize=None)
-def _fusion_fn():
+def _fusion_all_fn():
     jax, jnp = _jax()
 
-    @partial(jax.jit, static_argnames=("block", "metric"), donate_argnums=(0,))
-    def f(acc, cl, rep, cell_rows, sigmas_local, wc, block, metric):
-        """acc[cell, c] += w[cell] * exp(−dist(rep[cell], rep[cand])/σ[cell])
-        for candidates present in this modality (reference fusion loop,
-        muon/_core/preproc.py:571-601). ``cl`` holds GLOBAL cell ids and is
-        PRE-PADDED to a block multiple on the row axis (padding it here
-        copied the 2.3GB candidate matrix per modality at 1M cells —
-        measured HBM exhaustion); global→local translation happens
-        per block, and ``acc`` is donated so the accumulator updates in
-        place across the modality loop. cell_rows maps global→mod-local
-        (-1 = absent), padded like cl."""
+    @partial(jax.jit, static_argnames=("block", "dims", "metric"))
+    def f(cl, cat16, aux, sigw, block, dims, metric):
+        """Fused ALL-modality candidate scoring (reference fusion loop,
+        muon/_core/preproc.py:571-601):
+
+            score[cell, c] = Σ_m  w_m[cell] · exp(−dist_m(cell, cand)/σ_m[cell])
+
+        The candidate gather is ROW-OVERHEAD-bound on this toolchain
+        (measured ~1.6-3.4GB/s effective for 60-100B rows vs 800GB/s HBM),
+        so the per-modality kernels' 3 separate gathers were the stage cost
+        (37s/modality at 1M cells). Here every modality's rep lives in ONE
+        concatenated (n_global, ΣD) bf16 table gathered once per block —
+        3× fewer row-gathers — and distances come from the norm form
+        (f32 norms in ``aux``, one bf16 MXU cross-term per modality slice)
+        instead of materializing (block, C, d) diffs.
+
+        cl    (n_pad, C)  global candidate ids (pad −1)
+        cat16 (n_pad, ΣD) bf16 concatenated reps (absent/pad rows zero)
+        aux   (n_pad, 2M) f32: [|x|²_m | present_m]; cosine stores 1.0 norms
+        sigw  (n_pad, 2M) f32: [σ_m | w_m] (σ of absent rows arbitrary>0)
+        dims  tuple of (lo, hi) column slices per modality
+        """
         n_pad, C = cl.shape
-        d = rep.shape[1]
+        M = len(dims)
         nb = n_pad // block
-        lr = cell_rows
 
-        # distances in bf16: the (block, C, d) candidate gather dominates
-        # this kernel's HBM traffic (~3GB/modality at 100k cells in f32);
-        # bf16 halves it. Accumulation stays f32 via einsum
-        # preferred_element_type; the ~1e-2 relative noise on the exp-kernel
-        # scores is well inside the reference's own approximation budget
-        # (its candidate graph comes from approximate NN-descent).
-        if metric == "cosine":
-            norms = jnp.linalg.norm(rep, axis=1, keepdims=True)
-            repn = (rep / jnp.where(norms == 0, 1.0, norms)).astype(jnp.bfloat16)
-        else:
-            rep16 = rep.astype(jnp.bfloat16)
+        def body(_, i):
+            cl_b = jax.lax.dynamic_slice_in_dim(cl, i * block, block, 0)
+            ok = cl_b >= 0
+            cl_s = jnp.where(ok, cl_b, 0)
+            cc = cat16[cl_s]                       # (b, C, ΣD) ONE gather
+            aux_c = aux[cl_s]                      # (b, C, 2M)
+            q = jax.lax.dynamic_slice_in_dim(cat16, i * block, block, 0)
+            aux_q = jax.lax.dynamic_slice_in_dim(aux, i * block, block, 0)
+            sw_b = jax.lax.dynamic_slice_in_dim(sigw, i * block, block, 0)
 
-        def body(carry, i):
-            acc = carry
-            cl_bg = jax.lax.dynamic_slice_in_dim(cl, i * block, block, 0)
-            cl_b = jnp.where(
-                cl_bg >= 0,
-                lr[jnp.where(cl_bg >= 0, cl_bg, 0)],
-                -1,
-            )
-            lr_b = jax.lax.dynamic_slice_in_dim(lr, i * block, block, 0)
-            w_b = jax.lax.dynamic_slice_in_dim(wc, i * block, block, 0)
-            ok_cell = lr_b >= 0
-            lr_s = jnp.where(ok_cell, lr_b, 0)
-            cl_s = jnp.where(cl_b < 0, 0, cl_b)
-            if metric == "cosine":
-                q = repn[lr_s]
-                c = repn[cl_s]
-                dist = 1.0 - jnp.einsum(
-                    "bd,bcd->bc", q, c, preferred_element_type=jnp.float32
-                )
-            else:
-                q = rep16[lr_s]
-                c = rep16[cl_s]
-                diff = q[:, None, :] - c
-                d2 = jnp.einsum(
-                    "bcd,bcd->bc", diff, diff,
+            total = jnp.zeros((block, C), jnp.float32)
+            for m, (lo, hi) in enumerate(dims):
+                cross = jnp.einsum(
+                    "bd,bcd->bc", q[:, lo:hi], cc[:, :, lo:hi],
                     preferred_element_type=jnp.float32,
                 )
-                dist = jnp.sqrt(jnp.maximum(d2, 0.0))
-            sig = sigmas_local[lr_s][:, None]
-            contrib = jnp.exp(-dist / sig) * w_b[:, None]
-            contrib = jnp.where(
-                (cl_b >= 0) & ok_cell[:, None], contrib, 0.0
-            )
-            acc = jax.lax.dynamic_update_slice_in_dim(
-                acc,
-                jax.lax.dynamic_slice_in_dim(acc, i * block, block, 0) + contrib,
-                i * block,
-                0,
-            )
-            return acc, None
+                if metric == "cosine":
+                    dist = 1.0 - cross
+                else:
+                    d2 = aux_q[:, m : m + 1] + aux_c[:, :, m] - 2.0 * cross
+                    dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+                pres = aux_c[:, :, M + m] * aux_q[:, M + m : M + m + 1]
+                sig = jnp.maximum(sw_b[:, m : m + 1], 1e-12)
+                contrib = jnp.exp(-dist / sig) * sw_b[:, M + m : M + m + 1]
+                total = total + jnp.where(ok, contrib * pres, 0.0)
+            return _, total
 
-        acc, _ = jax.lax.scan(body, acc, jnp.arange(nb))
-        return acc
+        _, acc = jax.lax.scan(body, None, jnp.arange(nb))
+        return acc.reshape(n_pad, C)
 
     return f
 
@@ -620,7 +612,11 @@ def wnn_neighbors(
     # never downloaded or re-uploaded — at 100k cells it is ~160MB and the
     # tunnel h2d link moves ~50MB/s, which used to dominate the stage) -----
     m_per = n_multineighbors
-    cand_j = jnp.full((n_global, n_mods * m_per), -1, dtype=jnp.int32)
+    # rows pre-padded to the dedup block multiple: donation in
+    # _cand_dedup_fn needs input/output shapes to match (a (n, C) input
+    # against the padded output silently copied 2.4GB at 1M cells)
+    n_dpad = -(-n_global // 131072) * 131072 if n_global > 131072 else n_global
+    cand_j = jnp.full((n_dpad, n_mods * m_per), -1, dtype=jnp.int32)
     for i, mod in enumerate(modalities):
       with stage(f"wnn/candidates[{mod}]"):
         rep = reps[mod]
@@ -648,29 +644,48 @@ def wnn_neighbors(
 
     # -- fusion -----------------------------------------------------------------
     # trim + row-pad the candidate matrix ONCE as a donated device slice
-    # (the eager trim+pad chain spiked ~9GB at 1M cells — measured OOM);
-    # the accumulator is donated through the modality loop so only one
-    # (n_pad, maxc) f32 buffer lives
+    # (the eager trim+pad chain spiked ~9GB at 1M cells — measured OOM),
+    # then score every modality in ONE kernel over a concatenated rep
+    # table (see _fusion_all_fn: the per-modality gathers were the cost)
     block = min(1024, max(64, n_global))
     n_pad = -(-n_global // block) * block
     cand_p = _trim_pad_fn()(cand_j, n_pad, maxc)
     del cand_j
-    scores_j = jnp.zeros((n_pad, maxc), dtype=jnp.float32)
-    for i, mod in enumerate(modalities):
-      with stage(f"wnn/fusion[{mod}]"):
-        rep = reps[mod]
-        scores_j = _fusion_fn()(
-            scores_j,
-            cand_p,
-            jnp.asarray(rep),
-            jnp.asarray(np.pad(g2l[mod], (0, n_pad - n_global),
-                               constant_values=-1)),
-            jnp.asarray(sigmas[mod]),
-            jnp.asarray(np.pad(weights[:, i].astype(np.float32),
-                               (0, n_pad - n_global))),
-            block,
-            metric if metric in ("euclidean", "cosine") else "euclidean",
+    with stage("wnn/fusion"):
+        import ml_dtypes
+
+        fusion_metric = (
+            metric if metric in ("euclidean", "cosine") else "euclidean"
         )
+        Dsum = sum(reps[mod].shape[1] for mod in modalities)
+        cat = np.zeros((n_pad, Dsum), np.float32)
+        aux = np.zeros((n_pad, 2 * n_mods), np.float32)
+        sigw = np.zeros((n_pad, 2 * n_mods), np.float32)
+        dims_list, off = [], 0
+        for i, mod in enumerate(modalities):
+            repv = reps[mod]
+            d_m = repv.shape[1]
+            rows = l2g[mod]  # mod-local → global (every entry valid)
+            if fusion_metric == "cosine":
+                nrm = np.linalg.norm(repv, axis=1, keepdims=True)
+                repv = repv / np.where(nrm == 0, 1.0, nrm)
+                aux[rows, i] = 1.0
+            else:
+                aux[rows, i] = (repv * repv).sum(axis=1)
+            cat[rows, off : off + d_m] = repv
+            aux[rows, n_mods + i] = 1.0
+            sigw[rows, i] = sigmas[mod]
+            sigw[:n_global, n_mods + i] = weights[:, i].astype(np.float32)
+            dims_list.append((off, off + d_m))
+            off += d_m
+        # bf16 on the wire: halves the 1M×ΣD upload through the tunnel
+        cat16 = jnp.asarray(cat.astype(ml_dtypes.bfloat16))
+        del cat
+        scores_j = _fusion_all_fn()(
+            cand_p, cat16, jnp.asarray(aux), jnp.asarray(sigw),
+            block, tuple(dims_list), fusion_metric,
+        )
+        del cat16
 
     # -- final kNN + connectivities ----------------------------------------------
     stage_final = stage("wnn/finalize")

@@ -42,25 +42,45 @@ def _jax():
     return jax
 
 
-def mesh_split(n_devices: int) -> Tuple[int, int]:
+def mesh_split(
+    n_devices: int, total_feat: Optional[int] = None
+) -> Tuple[int, int]:
     """Factor n_devices into (cells, feat) — cells-major since obs is the
-    long axis (10⁶ cells vs 10⁵ features, SURVEY §2.6)."""
-    feat = 1
-    for cand in (2,):
-        if n_devices % (cand * cand) == 0 or (n_devices % cand == 0 and n_devices > 2):
-            feat = cand
-    cells = n_devices // feat
-    return cells, feat
+    long axis (10⁶ cells vs 10⁵ features, SURVEY §2.6).
+
+    ``total_feat`` (ΣD over views, when known) steers the feat-axis width
+    for pod-scale meshes: wide views amortize feat shards (the W-sweep is
+    embarrassingly parallel along D), narrow views leave feat shards idle
+    below ~128 columns each and the psum over "feat" in every Z-sweep then
+    costs more than it saves — so they get a cells-only mesh."""
+    if n_devices < 4:
+        return n_devices, 1
+    if total_feat is not None:
+        if total_feat < 512:
+            return n_devices, 1
+        if total_feat >= 4096 and n_devices % 8 == 0 and n_devices >= 16:
+            return n_devices // 8, 8
+        if total_feat >= 1024 and n_devices % 4 == 0 and n_devices >= 8:
+            return n_devices // 4, 4
+    if n_devices % 2 == 0:
+        return n_devices // 2, 2
+    return n_devices, 1
 
 
-def make_mesh(n_devices: Optional[int] = None, feat: Optional[int] = None):
-    """Build a ("cells", "feat") mesh over the first n_devices devices."""
+def make_mesh(
+    n_devices: Optional[int] = None,
+    feat: Optional[int] = None,
+    total_feat: Optional[int] = None,
+):
+    """Build a ("cells", "feat") mesh over the first n_devices devices.
+    ``total_feat`` (feature-axis width of the workload) picks the feat-axis
+    share via :func:`mesh_split` when ``feat`` is not given explicitly."""
     jax = _jax()
     devs = jax.devices()
     if n_devices is None:
         n_devices = len(devs)
     if feat is None:
-        _, feat = mesh_split(n_devices)
+        _, feat = mesh_split(n_devices, total_feat)
     cells = n_devices // feat
     import numpy as np
 

@@ -48,20 +48,21 @@ def dsb(
     if data_raw is None:
         if empty_counts_range is None or cell_counts_range is None:
             raise ValueError(
-                "data_raw is None, assuming data is the unfiltered object, "
-                "but no count ranges provided"
+                "without data_raw, `data` must be the unfiltered object and "
+                "both empty_counts_range and cell_counts_range are required"
             )
         if max(*empty_counts_range) > min(*cell_counts_range):
-            raise ValueError("overlapping count ranges")
+            raise ValueError(
+                "empty_counts_range and cell_counts_range must not overlap"
+            )
         if (
             not isinstance(data, MuData)
             or "prot" not in data.mod
             or "rna" not in data.mod
         ):
             raise TypeError(
-                "No data_raw given, assuming data is the unfiltered object, "
-                "but data is not MuData or does not contain 'prot' and 'rna' "
-                "modalities"
+                "without data_raw, `data` must be a MuData holding both "
+                "'prot' and 'rna' modalities (the unfiltered object)"
             )
         if data.mod["rna"].n_obs != data.mod["prot"].n_obs:
             raise ValueError(

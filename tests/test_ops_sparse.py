@@ -210,3 +210,62 @@ class TestLSI:
             )
             assert c > 1 - 1e-5, f"comp {i} cosine {c}"
         assert np.allclose(ad.uns["lsi"]["stdev"], s_ / np.sqrt(n - 1), rtol=1e-3)
+
+
+class TestCanonicalization:
+    def test_unsorted_csr_from_scipy(self):
+        """A legal scipy CSR with unsorted within-row indices must produce
+        correct products (ADVICE r2: the dense-row-block densify assumes
+        sorted indices; from_scipy canonicalizes)."""
+        rng = np.random.default_rng(3)
+        n, d = 50, 40
+        dense = ((rng.random((n, d)) < 0.25) * rng.integers(1, 6, (n, d))).astype(
+            np.float32
+        )
+        X = sp.csr_matrix(dense)
+        indptr, idxs, vals = X.indptr.copy(), X.indices.copy(), X.data.copy()
+        for r in range(n):
+            s, e = indptr[r], indptr[r + 1]
+            p = rng.permutation(e - s)
+            idxs[s:e], vals[s:e] = idxs[s:e][p], vals[s:e][p]
+        Xu = sp.csr_matrix((vals, idxs, indptr), shape=(n, d))
+        assert not Xu.has_sorted_indices
+        D = dsp.from_scipy(Xu)
+        import jax.numpy as jnp
+
+        B = rng.standard_normal((d, 7)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(dsp.spmm(D, jnp.asarray(B))), dense @ B, atol=1e-3
+        )
+        # the blocks path (densify) is the one that actually assumed order
+        scores, *_ = pca(Xu, n_comps=5)
+        scores_ref, *_ = pca(sp.csr_matrix(dense), n_comps=5)
+        np.testing.assert_allclose(
+            np.abs(np.asarray(scores)), np.abs(np.asarray(scores_ref)),
+            rtol=1e-2, atol=1e-2,
+        )
+
+
+class TestIvfEdgeCases:
+    def test_tiny_n(self):
+        """n < 16 used to crash in rng.choice (ADVICE r2)."""
+        from muon_tpu.ops.ivf import ivf_knn
+
+        rng = np.random.default_rng(0)
+        idx, dd = ivf_knn(rng.standard_normal((10, 4)).astype(np.float32), k=3)
+        assert idx.shape == (10, 4)
+        assert (idx[:, 0] == np.arange(10)).all()  # self in col 0
+        assert (dd[:, 0] == 0).all()
+
+    def test_skewed_cluster_keeps_self(self):
+        """A dominant cluster whose chunk list is truncated by P_max must
+        still probe each query's own chunk (self-in-col-0 contract)."""
+        from muon_tpu.ops.ivf import ivf_knn
+
+        rng = np.random.default_rng(1)
+        n = 4000
+        X = rng.standard_normal((n, 8)).astype(np.float32) * 0.01
+        X[: n // 20] += 50.0  # a few tiny distant clusters
+        idx, dd = ivf_knn(X, k=5, n_clusters=16, n_probe=2)
+        assert (idx[:, 0] == np.arange(n)).all()
+        assert (dd[:, 0] == 0).all()

@@ -251,3 +251,22 @@ class TestOutOfCore:
         assert np.allclose(
             np.asarray(b.X.todense()), np.asarray(ad.X.todense())[10:20]
         )
+
+    def test_backed_negative_row_indices(self, tmp_path):
+        """BackedMatrix row reads accept negative indices like to_memory()
+        did (ADVICE r2: indptr[-1] corrupted sparse reads, h5py rejected
+        dense fancy reads)."""
+        for sparse in (True, False):
+            ad = _adata(sparse=sparse, n=40)
+            p = str(tmp_path / f"neg_{int(sparse)}.h5ad")
+            ad.write(p)
+            b = mu.read_h5ad(p, backed=True)
+            got = b.X[np.array([-1, 0, -40])]
+            if hasattr(got, "todense"):
+                got = np.asarray(got.todense())
+            full = ad.X
+            if hasattr(full, "todense"):
+                full = np.asarray(full.todense())
+            assert np.allclose(got[0], full[-1])
+            assert np.allclose(got[1], full[0])
+            assert np.allclose(got[2], full[0])
