@@ -61,11 +61,10 @@ int multiplex_local_move(
   }
 
   // Queue-based local moving (the "fast local move" of Traag et al.
-  // 2019, as in leidenalg): after the initial sweep, only nodes whose
-  // neighborhood changed are revisited. On kNN graphs this visits ~2-4n
-  // nodes total where the full-sweep variant re-scanned all n edges per
-  // pass until quiescent (measured 180s -> target well under half at
-  // 1M cells x 3 layers).
+  // 2019, as in leidenalg): after the initial shuffled sweep, only nodes
+  // whose neighborhood changed — neighbors of a node that just moved —
+  // are revisited. On kNN graphs this visits ~2-4n nodes total where the
+  // full-sweep variant re-scanned all n edges per pass until quiescent.
   std::vector<int64_t> queue(order);
   std::vector<uint8_t> in_q(n, 1);
   size_t head = 0;
@@ -73,79 +72,88 @@ int multiplex_local_move(
   uint64_t visits = 0;
 
   int improved_any = 0;
-  {
-    for (; head < queue.size() && visits < budget; visits++) {
-      if (head > (size_t)n && head * 2 > queue.size()) {
-        // compact the ring to bound memory
-        queue.erase(queue.begin(), queue.begin() + head);
-        head = 0;
-      }
-      const int64_t i = queue[head++];
-      in_q[i] = 0;
-      const int64_t ci = labels[i];
+  for (; head < queue.size() && visits < budget; visits++) {
+    if (head > (size_t)n && head * 2 > queue.size()) {
+      // compact the ring to bound memory
+      queue.erase(queue.begin(), queue.begin() + head);
+      head = 0;
+    }
+    const int64_t i = queue[head++];
+    in_q[i] = 0;
+    const int64_t ci = labels[i];
 
-      // accumulate k_{i->comm} per layer
-      touched.clear();
+    // accumulate k_{i->comm} per layer
+    touched.clear();
+    for (int l = 0; l < L; l++) {
+      const int64_t* indptr = indptr_all + (size_t)l * (n + 1);
+      const int32_t* idx = indices_all + payload_off[l];
+      const double* dat = data_all + payload_off[l];
+      for (int64_t p = indptr[i]; p < indptr[i + 1]; p++) {
+        const int64_t j = idx[p];
+        if (j == i) continue;  // self-loop moves with the node
+        if (restrict_grp && restrict_grp[j] != restrict_grp[i]) continue;
+        const int64_t c = labels[j];
+        if (!seen[c]) {
+          seen[c] = 1;
+          touched.push_back(c);
+          for (int ll = 0; ll < L; ll++) comm_w[(size_t)c * L + ll] = 0.0;
+        }
+        comm_w[(size_t)c * L + l] += dat[p];
+      }
+    }
+
+    // gain of moving i: ci -> d
+    double base[16];  // L capped in the Python wrapper
+    for (int l = 0; l < L; l++)
+      base[l] = seen[ci] ? comm_w[(size_t)ci * L + l] : 0.0;
+
+    int64_t best_comm = ci;
+    double best_gain = 0.0;
+    for (int64_t t_i = 0; t_i < (int64_t)touched.size(); t_i++) {
+      const int64_t d = touched[t_i];
+      if (d == ci) continue;
+      double gain = 0.0;
+      for (int l = 0; l < L; l++) {
+        const double ki = deg_all[(size_t)l * n + i];
+        const double* t = tots.data() + (size_t)l * (n + 1);
+        const double tot_d = t[d];
+        const double tot_c = t[ci] - ki;
+        gain += layer_w[l] * ((comm_w[(size_t)d * L + l] - base[l]) -
+                              gamma[l] * ki * (tot_d - tot_c) / two_m[l]);
+      }
+      if (gain > best_gain + 1e-12) {
+        best_gain = gain;
+        best_comm = d;
+      }
+    }
+
+    // clear scratch before any re-enqueueing (touched is reused)
+    for (int64_t t_i = 0; t_i < (int64_t)touched.size(); t_i++)
+      seen[touched[t_i]] = 0;
+
+    if (best_comm != ci) {
+      for (int l = 0; l < L; l++) {
+        const double ki = deg_all[(size_t)l * n + i];
+        double* t = tots.data() + (size_t)l * (n + 1);
+        t[ci] -= ki;
+        t[best_comm] += ki;
+      }
+      labels[i] = best_comm;
+      improved_any = 1;
+      // revisit neighbors whose best move may have changed: any neighbor
+      // not already queued and not in i's new community
       for (int l = 0; l < L; l++) {
         const int64_t* indptr = indptr_all + (size_t)l * (n + 1);
         const int32_t* idx = indices_all + payload_off[l];
-        const double* dat = data_all + payload_off[l];
         for (int64_t p = indptr[i]; p < indptr[i + 1]; p++) {
           const int64_t j = idx[p];
-          if (j == i) continue;  // self-loop moves with the node
+          if (j == i || in_q[j] || labels[j] == best_comm) continue;
           if (restrict_grp && restrict_grp[j] != restrict_grp[i]) continue;
-          const int64_t c = labels[j];
-          if (!seen[c]) {
-            seen[c] = 1;
-            touched.push_back(c);
-            for (int ll = 0; ll < L; ll++) comm_w[(size_t)c * L + ll] = 0.0;
-          }
-          comm_w[(size_t)c * L + l] += dat[p];
+          in_q[j] = 1;
+          queue.push_back(j);
         }
       }
-
-      // gain of moving i: ci -> d
-      double base[16];  // L capped in the Python wrapper
-      for (int l = 0; l < L; l++)
-        base[l] = seen[ci] ? comm_w[(size_t)ci * L + l] : 0.0;
-
-      int64_t best_comm = ci;
-      double best_gain = 0.0;
-      for (int64_t t_i = 0; t_i < (int64_t)touched.size(); t_i++) {
-        const int64_t d = touched[t_i];
-        if (d == ci) continue;
-        double gain = 0.0;
-        for (int l = 0; l < L; l++) {
-          const double ki = deg_all[(size_t)l * n + i];
-          const double* t = tots.data() + (size_t)l * (n + 1);
-          const double tot_d = t[d];
-          const double tot_c = t[ci] - ki;
-          gain += layer_w[l] * ((comm_w[(size_t)d * L + l] - base[l]) -
-                                gamma[l] * ki * (tot_d - tot_c) / two_m[l]);
-        }
-        if (gain > best_gain + 1e-12) {
-          best_gain = gain;
-          best_comm = d;
-        }
-      }
-
-      if (best_comm != ci) {
-        for (int l = 0; l < L; l++) {
-          const double ki = deg_all[(size_t)l * n + i];
-          double* t = tots.data() + (size_t)l * (n + 1);
-          t[ci] -= ki;
-          t[best_comm] += ki;
-        }
-        labels[i] = best_comm;
-        moved++;
-        improved_any = 1;
-      }
-
-      // clear scratch
-      for (int64_t t_i = 0; t_i < (int64_t)touched.size(); t_i++)
-        seen[touched[t_i]] = 0;
     }
-    if (moved == 0) break;
   }
   return improved_any;
 }
