@@ -16,10 +16,17 @@ Prints one line per stage and ONE final JSON line:
 
 vs_baseline is measured-CPU extrapolation: the cached CPU numbers for
 tfidf+lsi (scipy/ARPACK, BASELINE_MEASURED.json) and wnn+leiden+umap /
-MOFA (same XLA programs pinned to the CPU backend — CONSERVATIVE, XLA-CPU
-beats the reference's numba/numpy stack) scaled linearly in cells from
-their measured scale to 1M. Components and scale factors are printed so
-the extrapolation is auditable.
+MOFA (same XLA programs pinned to the CPU backend) scaled linearly in
+cells from their measured scale to 1M. The XLA-CPU stand-in is believed
+to understate the reference's numba/numpy stack, but that is NOT provable
+in this image (muon/pynndescent/mofapy2 are not installed) — treat the
+CPU side as a stand-in, not a measurement of the reference itself.
+vs_baseline_svi_cpu additionally replaces the full-batch CPU MOFA term
+with a measured stochastic-VI CPU term (same iterations/batch size —
+mofapy2 offers the same stochastic mode, reference option surface
+muon/_core/tools.py:520-527), which is the FAIRER comparison since a CPU
+user at 1M cells would also minibatch. Components and scale factors are
+printed so both extrapolations are auditable.
 
 MUON_TPU_BENCH_SCALE=100 runs a 10k-cell smoke version.
 """
@@ -150,6 +157,57 @@ def _synth_cached():
     return rna, atac, prot, labels
 
 
+def _measure_svi_cpu_term(cache):
+    """CPU-XLA cost of the SAME stochastic-VI MOFA this pipeline runs
+    (VERDICT r2 item #8: mofapy2 exposes the same stochastic mode —
+    reference option surface muon/_core/tools.py:520-527 — so a fair CPU
+    user would also minibatch). Per-iteration cost is measured at two N
+    with the batch size held at the 1M run's S, then extrapolated
+    linearly in N: t(N) = a + b·N separates the batch-sized term from
+    the full-state (Z/E, N-sized) term instead of assuming either
+    dominates. Cached in BASELINE_MEASURED.json."""
+    import jax
+
+    from muon_tpu.models.mofa import MOFAConfig, fit_mofa
+
+    S = min(50_000, N)
+    pts = []
+    changed = False
+    for n_meas in (S, 2 * S):
+        key = f"mofa_svi_sec_per_iter_{n_meas}cells_s{S}_k{K_MOFA}_cpu_xla"
+        t_it = cache.get(key)
+        if t_it is None:
+            rng = np.random.default_rng(0)
+            Z = rng.normal(size=(n_meas, K_MOFA)).astype(np.float32)
+            Ys = [
+                (Z @ rng.normal(size=(K_MOFA, 256))
+                 + 0.5 * rng.normal(size=(n_meas, 256))).astype(np.float32)
+                for _ in range(2)
+            ]
+            cfg = MOFAConfig(
+                n_factors=K_MOFA, likelihoods=["gaussian"] * 2
+            )
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                kw = dict(
+                    svi_mode=True, svi_batch_fraction=S / n_meas,
+                    convergence_mode="slow", elbo_every=1000,
+                )
+                fit_mofa(Ys, cfg, n_iterations=2, min_iterations=2, **kw)
+                t0 = time.perf_counter()
+                fit_mofa(Ys, cfg, n_iterations=12, min_iterations=12, **kw)
+                t_it = (time.perf_counter() - t0) / 12
+            cache[key] = t_it
+            changed = True
+        pts.append((n_meas, t_it))
+    if changed:
+        json.dump(cache, open(CACHE, "w"), indent=1)
+    (n1, t1), (n2, t2) = pts
+    b = (t2 - t1) / (n2 - n1)
+    a = t1 - b * n1
+    return MOFA_ITERS * max(a + b * N, t1)
+
+
 def main():
     import muon_tpu as mu
     from muon_tpu import atac as ac
@@ -269,11 +327,30 @@ def main():
     for k, v in comps.items():
         print(f"[cpu-extrapolation] {k}: {v:.0f}s", flush=True)
 
+    # fair-CPU variant: the MOFA term assumes the CPU user also runs the
+    # stochastic mode (VERDICT r2 item #8) — everything else is shared
+    try:
+        svi_term = _measure_svi_cpu_term(cache)
+        print(
+            f"[cpu-extrapolation] mofa_svi({MOFA_ITERS}it, 2-point fit): "
+            f"{svi_term:.0f}s", flush=True,
+        )
+        nonmofa = sum(
+            v for k, v in comps.items() if not k.startswith("mofa")
+        )
+        baseline_svi = (nonmofa + svi_term) if comps else None
+    except Exception as e:
+        print(f"[cpu-extrapolation] svi variant failed: {e!r}", flush=True)
+        baseline_svi = None
+
     out = {
         "metric": f"e2e_{N}cells_3mod_sec",
         "value": round(total, 1),
         "unit": "s",
         "vs_baseline": round(baseline / total, 2) if baseline else None,
+        "vs_baseline_svi_cpu": (
+            round(baseline_svi / total, 2) if baseline_svi else None
+        ),
         "stages": _stage_times,
         "leiden_ari": round(ari, 3),
     }

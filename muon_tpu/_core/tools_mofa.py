@@ -419,6 +419,21 @@ def mofa(
         for m_i, m in enumerate(views):
             variance[m] = res.r2_per_factor[0][m_i]
     target.uns["mofa"]["variance"] = variance
+    # MEFISTO smooth-factor outputs (reference stores these inside the
+    # mofapy2 HDF5 model; surfacing them in .uns saves a file readback)
+    if res.gp_lengthscales is not None:
+        target.uns["mofa"]["smooth"] = {
+            "lengthscales": np.asarray(res.gp_lengthscales),
+            "scales": np.asarray(res.gp_scales),
+        }
+        if res.warped_covariates is not None:
+            target.uns["mofa"]["smooth"]["warped_covariates"] = np.asarray(
+                res.warped_covariates
+            )
+        if res.gp_group_corr is not None:
+            target.uns["mofa"]["smooth"]["group_corr"] = np.asarray(
+                res.gp_group_corr
+            )
 
     if not quiet:
         print(

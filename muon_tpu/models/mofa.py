@@ -299,18 +299,31 @@ def _make_step(
                 jit_eps = 1e-4
                 gn_ = state["gp_g"]
                 gu_ = state["gp_g_u"]
+                if "gp_Kg" in state:
+                    # learned group-correlation kernel (mofapy2
+                    # model_groups × sparseGP, reference option surface
+                    # muon/_core/tools.py:564-580): the group factor of
+                    # the covariance is Kg[g_i, g_j] instead of the
+                    # independent-groups delta — Kg = I recovers it. The
+                    # SGPR algebra below is unchanged: Kg is PSD with
+                    # unit diagonal, so K stays a valid kernel and the
+                    # prior variance k_ii is still s + (1−s+ε).
+                    Kgk = jax.lax.dynamic_slice_in_dim(
+                        state["gp_Kg"], k, 1, 0
+                    )[0]
+                    giu = gu_.astype(jnp.int32)
+                    gin = gn_.astype(jnp.int32)
+                    fac_uu = Kgk[giu][:, giu]
+                    fac_nu = Kgk[gin][:, giu]
+                else:
+                    fac_uu = (gu_[:, None] == gu_[None, :]).astype(Zm.dtype)
+                    fac_nu = (gn_[:, None] == gu_[None, :]).astype(Zm.dtype)
                 d2u = ((cu[:, None, :] - cu[None, :, :]) ** 2).sum(-1)
-                Kmm = sc * jnp.exp(-0.5 * d2u / (ell**2)) * (
-                    gu_[:, None] == gu_[None, :]
-                ) + (1.0 - sc + jit_eps) * jnp.eye(
-                    cu.shape[0], dtype=Zm.dtype
-                )
+                Kmm = sc * jnp.exp(-0.5 * d2u / (ell**2)) * fac_uu + (
+                    1.0 - sc + jit_eps
+                ) * jnp.eye(cu.shape[0], dtype=Zm.dtype)
                 d2nm = ((cn[:, None, :] - cu[None, :, :]) ** 2).sum(-1)
-                Knm = (
-                    sc
-                    * jnp.exp(-0.5 * d2nm / (ell**2))
-                    * (gn_[:, None] == gu_[None, :])
-                )
+                Knm = sc * jnp.exp(-0.5 * d2nm / (ell**2)) * fac_nu
                 Sig = Kmm + (Knm.T * p[None, :]) @ Knm
                 L = jnp.linalg.cholesky(Sig)
                 w1 = jax.scipy.linalg.cho_solve((L, True), Knm.T @ b)
@@ -554,6 +567,11 @@ def _make_step(
                     "gp_scale": state["gp_scale"],
                     "gp_g": state["gp_g"],
                     "gp_g_u": state["gp_g_u"],
+                    **(
+                        {"gp_Kg": state["gp_Kg"]}
+                        if "gp_Kg" in state
+                        else {}
+                    ),
                 }
                 if (smooth and sparse_gp)
                 else ({"gp_K": state["gp_K"]} if smooth else {})
@@ -1440,6 +1458,22 @@ def fit_mofa(
         svi_step = _make_svi_step(config, Ds_all, N, S, liks)
         step_jit = jax.jit(svi_step)
         rng_batch = np.random.default_rng(config.seed)
+
+        def _svi_chunk(state, batches, rhos):
+            # Fold T steps into ONE device program (lax.scan keeps the
+            # compiled size O(1) in T). Per-call dispatch through the
+            # tunneled runtime costs ~seconds at 1M cells, so handing the
+            # scheduler elbo_every steps at a time removes the dominant
+            # host-side cost of SVI training. Per-step ELBOs come back
+            # stacked, so recording/convergence semantics are unchanged.
+            def body(s, xs):
+                b, r = xs
+                s2, e = svi_step(s, b, r)
+                return s2, e
+
+            return jax.lax.scan(body, state, (batches, rhos))
+
+        chunk_jit = jax.jit(_svi_chunk)
     else:
         step = _make_step(
             config, Ds_all, N, masked, liks, smooth=smooth,
@@ -1514,23 +1548,22 @@ def fit_mofa(
                 state["gp_g_u"] = gvec_j[idx_u_j]
         elif "gp_K" not in state:
             state["gp_K"] = _gp_kmat_fn()(gp_cov, gp_ell, gp_scale, gvec_j)
-    # learned group-correlation matrix Kg (mofapy2 model_groups) — dense
-    # GP path only; Kg starts at I (independent groups) and is optimized
-    # on the smooth_opt_every cadence
-    learn_kg = bool(model_groups and smooth and not sparse_gp and G > 1)
+    # learned group-correlation matrix Kg (mofapy2 model_groups); Kg
+    # starts at I (independent groups) and is optimized on the
+    # smooth_opt_every cadence. Dense path: Kg enters via the
+    # precomputed gp_K; sparse path: Kg enters the in-step SGPR kernels
+    # via state["gp_Kg"], and its marginal-likelihood objective is
+    # evaluated on the inducing subset (the Nyström restriction keeps
+    # the learning step O(M²) instead of O(N²))
+    learn_kg = bool(model_groups and smooth and G > 1)
     gp_Xg = gp_Kg = None
-    if model_groups and smooth and sparse_gp:
-        import warnings as _warnings
-
-        _warnings.warn(
-            "model_groups is only implemented for the dense GP path; "
-            "sparse_gp run keeps independent groups.", UserWarning
-        )
     if learn_kg:
         gp_Xg = jnp.tile(
             jnp.eye(G, dtype=jnp.float32)[None], (config.n_factors, 1, 1)
         )
         gp_Kg = jax.vmap(lambda X: _normalize_kg(jnp, X))(gp_Xg)
+        if sparse_gp:
+            state["gp_Kg"] = gp_Kg
     if mesh is not None:
         # multi-chip: shard the state over the ("cells","feat") mesh; the
         # jitted sweep then runs SPMD with XLA-inserted collectives
@@ -1547,16 +1580,89 @@ def fit_mofa(
         if config.spikeslab_factors and it == 15:
             state = {**state, "ssz_on": jnp.ones((), jnp.float32)}
         if svi_mode:
+            # steps until the next host-side event; the chunk of steps in
+            # between runs as one scanned device call
+            horizon = n_iterations - it
+            if config.spikeslab_factors and it < 15:
+                horizon = min(horizon, 15 - it)  # ssz toggle edits state
+            if callback is not None and elbo_every:
+                horizon = min(horizon, elbo_every - it % elbo_every)
+            if checkpoint_path and checkpoint_every:
+                horizon = min(
+                    horizon, checkpoint_every - it % checkpoint_every
+                )
+            chunk = max(1, min(horizon, elbo_every))
             # ρ_t = lr · (t − t₀ + 1)^(−forgetting), the Robbins-Monro step
-            # schedule mofapy2 uses for its stochastic option surface
-            t_eff = max(1, it - svi_start_stochastic + 2)
-            rho = min(1.0, svi_learning_rate * t_eff ** (-svi_forgetting_rate))
-            batch = jnp.asarray(
-                rng_batch.choice(N, size=S, replace=False), jnp.int32
+            # schedule mofapy2 uses for its stochastic option surface;
+            # batches drawn sequentially so the draw order matches the
+            # one-step-per-call loop exactly
+            rhos = np.asarray(
+                [
+                    min(
+                        1.0,
+                        svi_learning_rate
+                        * max(1, it + j - svi_start_stochastic + 2)
+                        ** (-svi_forgetting_rate),
+                    )
+                    for j in range(chunk)
+                ],
+                np.float32,
             )
-            state, elbo = step_jit(state, batch, rho)
-        else:
-            state, elbo = step_jit(state)
+            batches = np.stack(
+                [
+                    rng_batch.choice(N, size=S, replace=False)
+                    for _ in range(chunk)
+                ]
+            ).astype(np.int32)
+            state, elbo_seq = chunk_jit(
+                state, jnp.asarray(batches), jnp.asarray(rhos)
+            )
+            elbo_host = None  # fetched lazily, one d2h sync per chunk
+            for j in range(chunk):
+                itj = it + j + 1
+                if not (
+                    itj % elbo_every == 0 or itj == 1 or itj == n_iterations
+                ):
+                    continue
+                if elbo_host is None:
+                    elbo_host = np.asarray(elbo_seq)
+                e = float(elbo_host[j])
+                elbos.append(e)
+                if verbose:
+                    print(f"iter {itj}: ELBO {e:.4f}")
+                # stochastic objective: the minibatch ELBO is noisy, so
+                # convergence is judged on RUNNING-WINDOW means (W recent
+                # evaluations vs the W before them) — the smoothed
+                # analogue of mofapy2's stochastic stop
+                # (muon/_core/tools.py:520-527 option surface)
+                if first_elbo is None:
+                    first_elbo = e
+                    continue
+                W = 5
+                fresh = len(elbos) - len(resumed_elbos)
+                if fresh >= 2 * W and itj - it0 >= min_iterations:
+                    recent = float(np.mean(elbos[-W:]))
+                    prev = float(np.mean(elbos[-2 * W : -W]))
+                    delta = abs(recent - prev)
+                    if delta / max(abs(first_elbo), 1e-30) * 100 < threshold:
+                        converged = True
+                        break
+            it += chunk
+            elbo = elbo_seq[-1]
+            if converged:
+                break
+            if callback is not None and it % elbo_every == 0:
+                callback(it, state, float(elbo))
+            if (
+                checkpoint_path
+                and checkpoint_every
+                and it % checkpoint_every == 0
+            ):
+                from .checkpoint import save_state
+
+                save_state(checkpoint_path, state, np.asarray(elbos), it)
+            continue
+        state, elbo = step_jit(state)
         it += 1
         if (
             warping
@@ -1594,6 +1700,19 @@ def fit_mofa(
                 )
                 state["gp_ell"] = gp_ell
                 state["gp_scale"] = gp_scale
+                if learn_kg:
+                    # Kg gradient ascent on the inducing-subset marginal
+                    # (same objective as the dense path, restricted to
+                    # the M quantile-spaced cells — every group is
+                    # represented there by construction)
+                    gp_Xg, gp_Kg = _gp_group_fn()(
+                        state["gp_cov_u"],
+                        state["Z_mean"][idx_u_j],
+                        state["Z_var"][idx_u_j],
+                        gp_ell, gp_scale,
+                        state["gp_g_u"], gp_Xg,
+                    )
+                    state["gp_Kg"] = gp_Kg
             else:
                 # (ℓ, s) grid search under the independent-groups kernel
                 # (approximation: mofapy2 alternates hyper blocks the same
@@ -1621,24 +1740,6 @@ def fit_mofa(
             elbos.append(e)
             if verbose:
                 print(f"iter {it}: ELBO {e:.4f}")
-            if svi_mode:
-                # stochastic objective: the minibatch ELBO is noisy, so
-                # convergence is judged on RUNNING-WINDOW means (W recent
-                # evaluations vs the W before them) — the smoothed
-                # analogue of mofapy2's stochastic stop
-                # (muon/_core/tools.py:520-527 option surface)
-                if first_elbo is None:
-                    first_elbo = e
-                W = 5
-                fresh = len(elbos) - len(resumed_elbos)
-                if fresh >= 2 * W and it - it0 >= min_iterations:
-                    recent = float(np.mean(elbos[-W:]))
-                    prev = float(np.mean(elbos[-2 * W : -W]))
-                    delta = abs(recent - prev)
-                    if delta / max(abs(first_elbo), 1e-30) * 100 < threshold:
-                        converged = True
-                        break
-                continue
             if first_elbo is None:
                 first_elbo = e
             elif (

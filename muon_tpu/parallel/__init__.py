@@ -9,6 +9,15 @@ from .mesh import (
     replicated,
     shard_mofa_state,
 )
+from .pipeline import (
+    ShardedCOO,
+    shard_rows,
+    sharded_col_sums,
+    sharded_tfidf_data,
+    sharded_rsvd,
+    sharded_lsi,
+    sharded_knn,
+)
 
 __all__ = [
     "make_mesh",
@@ -18,4 +27,11 @@ __all__ = [
     "grid_sharding",
     "replicated",
     "shard_mofa_state",
+    "ShardedCOO",
+    "shard_rows",
+    "sharded_col_sums",
+    "sharded_tfidf_data",
+    "sharded_rsvd",
+    "sharded_lsi",
+    "sharded_knn",
 ]

@@ -169,6 +169,7 @@ def shard_mofa_state(state: dict, mesh) -> dict:
     if "gp_cov" in state:
         out["gp_cov"] = put(state["gp_cov"], cells2)
         out["gp_g"] = put(state["gp_g"], cells1)
-        for key in ("gp_cov_u", "gp_g_u", "gp_ell", "gp_scale"):
-            out[key] = put(state[key], rep)
+        for key in ("gp_cov_u", "gp_g_u", "gp_ell", "gp_scale", "gp_Kg"):
+            if key in state:
+                out[key] = put(state[key], rep)
     return out

@@ -1,0 +1,389 @@
+"""Cells-axis sharding for the data pipeline (tfidf → lsi → kNN).
+
+The reference runs this pipeline single-process on one host
+(muon/_atac/preproc.py:85-119 tfidf, muon/_atac/tools.py:29-60 LSI via
+scipy/ARPACK, muon/_core/preproc.py:264 neighbors).  The TPU-native
+scaling design (SURVEY §2.6) shards the long cells axis instead: each
+device owns a contiguous row block of the count matrix in padded COO, and
+every reduction that crosses rows — IDF column sums, the XᵀY products and
+Gram matrices of the randomized SVD — is an explicit ``psum`` over the
+"cells" mesh axis inside a ``shard_map`` program.  Feature-axis state
+(column sums, V factors, Gram matrices) is replicated: it is k·d-sized,
+thousands of times smaller than the sharded n-sized state.
+
+Collectives ride the mesh (ICI on real hardware); no host round trips.
+The same programs run on the 8-device virtual CPU mesh used by the test
+suite and the driver's ``dryrun_multichip``.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import NamedTuple, Tuple
+
+import numpy as np
+from scipy import sparse as sp
+
+__all__ = [
+    "ShardedCOO",
+    "shard_rows",
+    "sharded_col_sums",
+    "sharded_tfidf_data",
+    "sharded_rsvd",
+    "sharded_lsi",
+    "sharded_knn",
+]
+
+
+@lru_cache(maxsize=1)
+def _jax():
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        from jax import shard_map
+    except ImportError:  # pre-0.8 fallback
+        from jax.experimental.shard_map import shard_map
+
+    return jax, jnp, shard_map
+
+
+class ShardedCOO(NamedTuple):
+    """Row-block-sharded sparse matrix: shard i holds rows
+    [i·R, (i+1)·R) in padded COO with LOCAL row ids (padding rows use
+    id R, padding columns id d — both land in a trash slot)."""
+
+    data: object  # (P, E) values, device, sharded P("cells", None)
+    row: object   # (P, E) int32 local row ids in [0, R]
+    col: object   # (P, E) int32 col ids in [0, d]
+    n_rows: int
+    n_cols: int
+    nnz: int
+    rows_per_shard: int   # R
+    n_shards: int         # P
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n_rows, self.n_cols)
+
+
+def _cells_dim(mesh) -> int:
+    return int(mesh.shape["cells"])
+
+
+def shard_rows(X, mesh, pad_multiple: int = 8192) -> ShardedCOO:
+    """Split a scipy CSR into P contiguous row blocks and place them on the
+    mesh ("cells"-sharded, replicated along any other axes).
+
+    Each block's nnz is padded to the common bucket size E so the stacked
+    arrays are rectangular — the price is ≤ P·pad_multiple wasted slots,
+    the win is one fixed shape per dataset (no per-shard recompiles)."""
+    jax, jnp, _ = _jax()
+
+    X = X.tocsr()
+    if not X.has_sorted_indices:
+        X.sort_indices()
+    n, d = X.shape
+    P = _cells_dim(mesh)
+    R = -(-n // P)
+    counts = [
+        int(X.indptr[min((i + 1) * R, n)] - X.indptr[min(i * R, n)])
+        for i in range(P)
+    ]
+    E = max(
+        pad_multiple,
+        -(-max(counts) // pad_multiple) * pad_multiple,
+    )
+    dtype = (
+        np.float64
+        if (X.dtype == np.float64 and jax.config.jax_enable_x64)
+        else np.float32
+    )
+    data = np.zeros((P, E), dtype)
+    row = np.full((P, E), R, np.int32)
+    col = np.full((P, E), d, np.int32)
+    for i in range(P):
+        lo, hi = min(i * R, n), min((i + 1) * R, n)
+        s, e = X.indptr[lo], X.indptr[hi]
+        m = e - s
+        data[i, :m] = X.data[s:e]
+        col[i, :m] = X.indices[s:e]
+        row[i, :m] = np.repeat(
+            np.arange(hi - lo, dtype=np.int32),
+            np.diff(X.indptr[lo : hi + 1]).astype(np.int64),
+        )
+    spec = jax.sharding.PartitionSpec("cells", None)
+    sh = jax.sharding.NamedSharding(mesh, spec)
+    return ShardedCOO(
+        jax.device_put(jnp.asarray(data), sh),
+        jax.device_put(jnp.asarray(row), sh),
+        jax.device_put(jnp.asarray(col), sh),
+        n, d, int(X.nnz), R, P,
+    )
+
+
+@lru_cache(maxsize=None)
+def _colsums_fn(mesh, R, d):
+    jax, jnp, shard_map = _jax()
+    Ps = jax.sharding.PartitionSpec
+
+    def body(data, col):
+        part = jax.ops.segment_sum(
+            data[0], col[0], num_segments=d + 1
+        )[:d]
+        return jax.lax.psum(part, "cells")[None]
+
+    f = shard_map(
+        body, mesh=mesh,
+        in_specs=(Ps("cells", None), Ps("cells", None)),
+        out_specs=Ps("cells", None),
+    )
+    return jax.jit(lambda data, col: f(data, col)[0])
+
+
+def sharded_col_sums(Xs: ShardedCOO):
+    """Column sums with a psum over the cells axis — the distributed form
+    of the IDF reduction (reference muon/_atac/preproc.py:106)."""
+    return _colsums_fn(_mesh_of(Xs), Xs.rows_per_shard, Xs.n_cols)(
+        Xs.data, Xs.col
+    )
+
+
+def _mesh_of(Xs: ShardedCOO):
+    shd = Xs.data.sharding
+    return shd.mesh
+
+
+@lru_cache(maxsize=None)
+def _tfidf_fn(mesh, R, d, n, log_tf, log_idf, log_tfidf, scale):
+    jax, jnp, shard_map = _jax()
+    Ps = jax.sharding.PartitionSpec
+
+    def body(data, row, col):
+        data, row, col = data[0], row[0], col[0]
+        rs = jax.ops.segment_sum(
+            data, row, num_segments=R + 1, indices_are_sorted=True
+        )
+        cs = jax.lax.psum(
+            jax.ops.segment_sum(data, col, num_segments=d + 1)[:d],
+            "cells",
+        )
+        tf = data / rs[row]
+        tf = jnp.where(jnp.isfinite(tf), tf, 0.0)
+        if scale is not None and scale not in (0, 1):
+            tf = tf * scale
+        if log_tf:
+            tf = jnp.log1p(tf)
+        idf = n / cs
+        if log_idf:
+            idf = jnp.log1p(idf)
+        out = tf * jnp.concatenate([idf, jnp.zeros((1,), idf.dtype)])[col]
+        if log_tfidf:
+            out = jnp.log1p(out)
+        return jnp.where(jnp.isfinite(out), out, 0.0)[None]
+
+    f = shard_map(
+        body, mesh=mesh,
+        in_specs=(Ps("cells", None),) * 3,
+        out_specs=Ps("cells", None),
+    )
+    return jax.jit(f)
+
+
+def sharded_tfidf_data(
+    Xs: ShardedCOO,
+    log_tf: bool = True,
+    log_idf: bool = True,
+    log_tfidf: bool = False,
+    scale_factor: float = 1e4,
+):
+    """Fused TF-IDF over the sharded matrix (semantics of reference
+    muon/_atac/preproc.py:85-119; single-device kernel ops/sparse.py
+    tfidf_data).  Row sums are shard-local, the IDF column-sum reduction
+    is one psum over "cells"."""
+    sf = None if scale_factor is None else float(scale_factor)
+    f = _tfidf_fn(
+        _mesh_of(Xs), Xs.rows_per_shard, Xs.n_cols, Xs.n_rows,
+        bool(log_tf), bool(log_idf), bool(log_tfidf), sf,
+    )
+    return Xs._replace(data=f(Xs.data, Xs.row, Xs.col))
+
+
+@lru_cache(maxsize=None)
+def _rsvd_fn(mesh, R, d, n, k, l, n_iter, seed, dtype_name):
+    jax, jnp, shard_map = _jax()
+    Ps = jax.sharding.PartitionSpec
+    dt = jnp.dtype(dtype_name)
+
+    def body(data, row, col):
+        data, row, col = data[0], row[0], col[0]
+
+        def mv(B):  # (d, l) replicated -> (R, l) local rows
+            Bp = jnp.concatenate([B, jnp.zeros((1, l), B.dtype)], axis=0)
+            vals = data[:, None] * Bp[col]
+            return jax.ops.segment_sum(
+                vals, row, num_segments=R + 1, indices_are_sorted=True
+            )[:R]
+
+        def rmv(Y):  # (R, l) local -> (d, l) replicated via psum
+            Yp = jnp.concatenate([Y, jnp.zeros((1, l), Y.dtype)], axis=0)
+            vals = data[:, None] * Yp[row]
+            part = jax.ops.segment_sum(vals, col, num_segments=d + 1)[:d]
+            return jax.lax.psum(part, "cells")
+
+        def cholqr_cells(Y):
+            # distributed CholeskyQR2: the Gram is a psum over row shards;
+            # the triangular solve is local (tall-skinny QR would
+            # serialize on TPU — see ops/linalg._cholqr)
+            def once(Y):
+                G = jax.lax.psum(Y.T @ Y, "cells")
+                jit_ = 1e-7 * (jnp.trace(G) / l) + 1e-30
+                Rc = jnp.linalg.cholesky(G + jit_ * jnp.eye(l, dtype=G.dtype))
+                return jax.scipy.linalg.solve_triangular(
+                    Rc, Y.T, lower=True
+                ).T
+
+            return once(once(Y))
+
+        def cholqr_rep(B):  # replicated (d, l): plain CholeskyQR2
+            def once(B):
+                G = B.T @ B
+                jit_ = 1e-7 * (jnp.trace(G) / l) + 1e-30
+                Rc = jnp.linalg.cholesky(G + jit_ * jnp.eye(l, dtype=G.dtype))
+                return jax.scipy.linalg.solve_triangular(
+                    Rc, B.T, lower=True
+                ).T
+
+            return once(once(B))
+
+        key = jax.random.PRNGKey(seed)
+        Om = jax.random.normal(key, (d, l), dtype=dt)  # same on every shard
+        Q = cholqr_cells(mv(Om))
+
+        def it(_, Q):
+            Z = cholqr_rep(rmv(Q))
+            return cholqr_cells(mv(Z))
+
+        Q = jax.lax.fori_loop(0, n_iter, it, Q)
+        B = rmv(Q).T  # (l, d) replicated — full-precision final pass
+        Ub, s_, Vt = jnp.linalg.svd(B, full_matrices=False)
+        U = Q @ Ub
+        # replicated outputs returned as one stacked row per shard; the
+        # host takes shard 0 (identical everywhere by construction)
+        return U[:, :k], s_[:k][None], Vt[:k][None]
+
+    f = shard_map(
+        body, mesh=mesh,
+        in_specs=(Ps("cells", None),) * 3,
+        out_specs=(
+            Ps("cells", None),
+            Ps("cells", None),
+            Ps("cells", None, None),
+        ),
+    )
+    return jax.jit(f)
+
+
+def sharded_rsvd(
+    Xs: ShardedCOO,
+    k: int,
+    n_oversample: int = 10,
+    n_iter: int = 7,
+    seed: int = 0,
+):
+    """Distributed randomized SVD over the row-sharded matrix.
+
+    Single-device counterpart: ops/linalg.randomized_svd (reference uses
+    scipy ARPACK at muon/_atac/tools.py:53).  The subspace iteration runs
+    as ONE SPMD program: X·B is shard-local, XᵀY and every CholQR Gram are
+    psums over "cells" — exactly the collective layout SURVEY §2.6 calls
+    for.  Returns (U [n,k] cells-sharded, s [k], Vt [k,d])."""
+    n, d = Xs.shape
+    l = min(k + n_oversample, min(n, d))
+    f = _rsvd_fn(
+        _mesh_of(Xs), Xs.rows_per_shard, d, n, int(k), int(l),
+        int(n_iter), int(seed), str(np.dtype(Xs.data.dtype)),
+    )
+    U, s_, Vt = f(Xs.data, Xs.row, Xs.col)
+    return U[:n], s_[0], Vt[0]
+
+
+def sharded_lsi(X, mesh, k: int = 50, n_iter: int = 7, seed: int = 0):
+    """tfidf → rsvd → LSI scores, fully sharded (the multi-chip form of
+    atac tfidf+lsi, reference muon/_atac/preproc.py:85 + tools.py:29).
+
+    Returns (scores [n,k] cells-sharded, s [k], Vt [k,d])."""
+    Xs = shard_rows(X, mesh)
+    Xs = sharded_tfidf_data(Xs)
+    U, s_, Vt = sharded_rsvd(Xs, k, n_iter=n_iter, seed=seed)
+    return U * s_[None, :], s_, Vt
+
+
+@lru_cache(maxsize=None)
+def _knn_fn(mesh, R, n, k, chunk):
+    jax, jnp, shard_map = _jax()
+    Ps = jax.sharding.PartitionSpec
+
+    def body(Qb, DB):  # (1, R, dim) local queries, (n, dim) replicated DB
+        Qb = Qb[0]
+        nb2 = (DB * DB).sum(axis=1)
+
+        def one_chunk(carry, q):  # q: (chunk, dim)
+            d2 = (
+                (q * q).sum(axis=1)[:, None]
+                - 2.0 * q @ DB.T
+                + nb2[None, :]
+            )
+            neg, idx = jax.lax.top_k(-d2, k + 1)
+            return carry, (-neg, idx)
+
+        nchunk = R // chunk
+        _, (D, I) = jax.lax.scan(
+            one_chunk, None, Qb.reshape(nchunk, chunk, -1)
+        )
+        return (
+            D.reshape(R, k + 1)[None],
+            I.reshape(R, k + 1).astype(jnp.int32)[None],
+        )
+
+    f = shard_map(
+        body, mesh=mesh,
+        in_specs=(Ps("cells", None, None), Ps(None, None)),
+        out_specs=(Ps("cells", None, None), Ps("cells", None, None)),
+    )
+    return jax.jit(f)
+
+
+def sharded_knn(Z, mesh, k: int = 20, chunk: int = 1024):
+    """Exact kNN with queries sharded over "cells" and the database
+    replicated (single-device counterpart ops/knn.knn; reference uses
+    pynndescent/sklearn at muon/_core/preproc.py:395-407).
+
+    Each shard scans its query rows in fixed-size chunks against the full
+    database — embarrassingly parallel, zero collectives after the initial
+    broadcast.  Returns (dists [n,k+1], idx [n,k+1]) cells-sharded, column
+    0 = self."""
+    jax, jnp, _ = _jax()
+    Z = np.asarray(Z, np.float32)
+    n, dim = Z.shape
+    P = _cells_dim(mesh)
+    R = -(-n // P)
+    chunk = min(chunk, R)
+    while R % chunk:
+        chunk -= 1
+    Zpad = np.full((P * R, dim), np.inf, np.float32)
+    Zpad[:n] = Z
+    spec3 = jax.sharding.PartitionSpec("cells", None, None)
+    Qs = jax.device_put(
+        jnp.asarray(Zpad.reshape(P, R, dim)),
+        jax.sharding.NamedSharding(mesh, spec3),
+    )
+    DB = jax.device_put(
+        jnp.asarray(Z),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+    )
+    D, I = _knn_fn(mesh, R, n, int(k), int(chunk))(Qs, DB)
+    return (
+        D.reshape(P * R, k + 1)[:n],
+        I.reshape(P * R, k + 1)[:n],
+    )

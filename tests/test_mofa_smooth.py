@@ -293,12 +293,44 @@ class TestModelGroups:
         # diagonal is exactly 1 by construction
         assert np.allclose(np.diagonal(res.gp_group_corr, axis1=1, axis2=2), 1.0)
 
-    def test_sparse_gp_warns(self):
-        cov, groups, Y1, Y2 = self._sim_correlated_groups(0.5)
-        config = MOFAConfig(n_factors=2, seed=0)
-        with pytest.warns(UserWarning, match="model_groups"):
-            fit_mofa(
-                [Y1, Y2], config, groups=groups, n_iterations=5,
-                min_iterations=5, smooth_covariate=cov, sparse_gp=True,
-                model_groups=True,
-            )
+    @pytest.mark.parametrize("rho", [0.9, 0.0])
+    def test_kg_recovery_sparse_gp(self, rho):
+        """model_groups × sparseGP (mofapy2 combines inducing-point GPs
+        with the learned Kg; reference option surface
+        muon/_core/tools.py:564-580): the inducing-subset Kg objective
+        recovers the planted cross-group correlation."""
+        cov, groups, Y1, Y2 = self._sim_correlated_groups(rho)
+        config = MOFAConfig(n_factors=2, seed=0, ard_factors=True)
+        res = fit_mofa(
+            [Y1, Y2], config, groups=groups, n_iterations=120,
+            smooth_covariate=cov, smooth_opt_every=15, smooth_start_opt=15,
+            model_groups=True, sparse_gp=True, frac_inducing=0.4,
+        )
+        assert res.gp_group_corr is not None
+        assert res.gp_group_corr.shape == (2, 2, 2)
+        kg01 = float(res.gp_group_corr[0, 0, 1])
+        assert abs(kg01 - rho) < 0.35, (kg01, rho)
+        assert np.allclose(
+            np.diagonal(res.gp_group_corr, axis1=1, axis2=2), 1.0
+        )
+
+    def test_kg_recovery_sparse_gp_warped(self):
+        """2-group warped simulation under sparseGP + model_groups: the
+        warping aligns group B's shifted clock AND the learned Kg reports
+        the (perfect) post-alignment cross-group correlation."""
+        t, Y, groups, cov = TestWarping._sim_warped(seed=3)
+        res = fit_mofa(
+            [Y], MOFAConfig(n_factors=2, seed=3), groups=groups,
+            n_iterations=200, smooth_covariate=cov,
+            warping=True, warping_freq=20,
+            sparse_gp=True, frac_inducing=0.3, model_groups=True,
+        )
+        n_per = len(t)
+        w = res.warped_covariates
+        err_before = ((cov[n_per:] - t) ** 2).mean()
+        err_after = ((w[n_per:] - t) ** 2).mean()
+        assert err_after < 0.3 * err_before, (err_before, err_after)
+        # the two groups share one latent trajectory post-warping, so the
+        # leading factor's learned cross-group correlation must be high
+        kg01 = float(res.gp_group_corr[0, 0, 1])
+        assert kg01 > 0.6, kg01

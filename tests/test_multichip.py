@@ -135,6 +135,111 @@ class TestMultichip:
         r2 = 1 - ((zt - Zi @ beta) ** 2).sum() / (zt**2).sum()
         assert r2 > 0.9, r2
 
+    def test_sharded_tfidf_matches_single_device(self):
+        """Cells-sharded tfidf (psum'd IDF reduction, reference
+        muon/_atac/preproc.py:106) returns exactly the single-device
+        values once reassembled (VERDICT r2 #2)."""
+        from scipy import sparse as sp
+        from muon_tpu.ops.sparse import from_scipy, tfidf_data
+        from muon_tpu.parallel import make_mesh, shard_rows, sharded_tfidf_data
+        from muon_tpu.parallel.pipeline import sharded_col_sums
+
+        rng = np.random.default_rng(0)
+        n, d = 600, 300
+        X = sp.random(
+            n, d, density=0.05, random_state=np.random.RandomState(0),
+            format="csr", dtype=np.float64,
+        )
+        X.data = np.ceil(X.data * 4)
+        mesh = make_mesh(8, feat=1)
+        Xs = shard_rows(X, mesh, pad_multiple=64)
+
+        cs = np.asarray(sharded_col_sums(Xs))
+        np.testing.assert_allclose(cs, np.asarray(X.sum(axis=0)).ravel(),
+                                   rtol=1e-12)
+
+        Ys = sharded_tfidf_data(Xs)
+        # reassemble shard blocks into the flat CSR value order
+        dX = from_scipy(X)
+        ref = np.asarray(tfidf_data(dX))[: X.nnz]
+        got = np.empty(X.nnz)
+        R = Xs.rows_per_shard
+        vals = np.asarray(Ys.data)
+        for i in range(Xs.n_shards):
+            lo, hi = min(i * R, n), min((i + 1) * R, n)
+            s, e = X.indptr[lo], X.indptr[hi]
+            got[s:e] = vals[i, : e - s]
+        np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+    def test_sharded_lsi_matches_single_device(self):
+        """Distributed rSVD (shard-local X·B, psum'd XᵀY and Grams) agrees
+        with the single-device randomized SVD AND the exact dense SVD on a
+        planted block matrix whose leading spectrum is well separated (a
+        flat random spectrum makes tail factors genuinely non-identifiable
+        between any two rSVD variants)."""
+        from scipy import sparse as sp
+        from muon_tpu.ops.linalg import randomized_svd
+        from muon_tpu.ops.sparse import from_scipy, tfidf_data
+        from muon_tpu.parallel import make_mesh, sharded_lsi
+
+        rng = np.random.default_rng(1)
+        n, d, k, g = 512, 200, 6, 8
+        # block structure: cells in group j are enriched on feature block j
+        lab = rng.integers(0, g, n)
+        dense = rng.poisson(0.3, (n, d)).astype(np.float64)
+        for j in range(g):
+            cols = slice(j * (d // g), (j + 1) * (d // g))
+            dense[lab == j, cols] += rng.poisson(
+                5.0, ((lab == j).sum(), d // g)
+            )
+        X = sp.csr_matrix(dense)
+        mesh = make_mesh(8, feat=1)
+        scores, s_sh, Vt_sh = sharded_lsi(X, mesh, k=k, n_iter=10)
+        scores = np.asarray(scores)
+
+        dX = from_scipy(X)
+        tf_vals = tfidf_data(dX)
+        dX = dX._replace(data=tf_vals)
+        U, s1, Vt1 = randomized_svd(dX, k, n_iter=10)
+
+        # exact dense ground truth on the same tfidf values
+        Xt = X.copy().astype(np.float64)
+        Xt.data[:] = np.asarray(tf_vals)[: X.nnz]
+        s_exact = np.linalg.svd(Xt.toarray(), compute_uv=False)[:k]
+
+        np.testing.assert_allclose(np.asarray(s_sh), s_exact, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(s1), s_exact, rtol=1e-3)
+        # factor columns match the single-device kernel up to sign
+        ref = np.asarray(U) * np.asarray(s1)[None, :]
+        for j in range(k):
+            a, b = scores[:, j], ref[:, j]
+            cos = abs(np.dot(a, b)) / (
+                np.linalg.norm(a) * np.linalg.norm(b) + 1e-30
+            )
+            assert cos > 0.999, (j, cos)
+
+    def test_sharded_knn_matches_single_device(self):
+        """Query-sharded exact kNN returns the same neighbor sets as the
+        single-device kernel (recall 1.0 on well-separated data)."""
+        from muon_tpu.ops.knn import knn
+        from muon_tpu.parallel import make_mesh, sharded_knn
+
+        rng = np.random.default_rng(2)
+        n, dim, k = 700, 16, 10
+        Z = rng.normal(size=(n, dim)).astype(np.float32) * 3
+        mesh = make_mesh(8, feat=1)
+        D, I = sharded_knn(Z, mesh, k=k)
+        D, I = np.asarray(D), np.asarray(I)
+        i_ref, d_ref = knn(Z, k=k)
+        d_ref, i_ref = np.asarray(d_ref), np.asarray(i_ref)
+        assert I.shape == i_ref.shape == (n, k + 1)
+        # self in column 0
+        np.testing.assert_array_equal(I[:, 0], np.arange(n))
+        recall = np.mean([
+            len(set(I[i, 1:]) & set(i_ref[i, 1:])) / k for i in range(n)
+        ])
+        assert recall > 0.999, recall
+
     def test_spikeslab_factors_with_mesh(self):
         from muon_tpu.models.mofa import MOFAConfig, fit_mofa
         from muon_tpu.parallel import make_mesh
