@@ -108,5 +108,7 @@ def load_leiden_lib() -> ctypes.CDLL:
         c.POINTER(c.c_int64),          # restrict or NULL
         c.c_int32,                     # max_passes
         c.c_uint64,                    # seed
+        c.c_int32,                     # randomized (refinement mode)
+        c.c_double,                    # theta_frac
     ]
     return lib

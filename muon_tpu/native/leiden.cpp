@@ -4,13 +4,17 @@
 // igraph, muon/_core/tools.py:1034-1038). This is the native equivalent
 // for muon-tpu: sequential local moving over multiple graph layers with a
 // shared partition (RB-configuration quality, per-layer resolution and
-// weight), plus the restricted variant used for Leiden refinement.
+// weight), plus the randomized restricted variant used for Leiden
+// refinement (Traag et al. 2019 §B: merge singletons with probability
+// proportional to exp(gain/theta), the mechanism that lets the optimizer
+// escape the local optima a purely greedy merge sequence gets stuck in).
 // The Python driver (muon_tpu/ops/leiden.py) keeps the level loop and the
 // scipy-based aggregation; this file owns the per-node hot loop.
 //
 // Layers arrive flattened: indptr_all is L stacked (n+1)-vectors,
 // indices/data are stacked CSR payloads with per-layer offsets.
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <random>
@@ -19,6 +23,19 @@
 extern "C" {
 
 // Returns 1 if any node moved, 0 otherwise. labels is updated in place.
+//
+// randomized == 0: greedy queue-based local moving ("fast local move" of
+//   Traag et al. 2019): after an initial shuffled sweep, only nodes whose
+//   neighborhood changed are revisited. Each node considers joining any
+//   neighboring community AND splitting off into an empty community (the
+//   classic Louvain "isolate" move — without it, weakly attached nodes
+//   can never leave an oversized community).
+// randomized == 1: one shuffled pass over the nodes; only nodes that are
+//   currently alone in their community may move, and the target among the
+//   positive-gain candidates (plus "stay") is sampled with probability
+//   proportional to exp(gain / theta), theta = theta_frac * max_gain
+//   (scale-free: selection depends only on gain ratios, so it behaves
+//   identically on raw and aggregated levels).
 int multiplex_local_move(
     int64_t n,
     int32_t n_layers,
@@ -33,16 +50,30 @@ int multiplex_local_move(
     int64_t* labels,              // (n,) in/out
     const int64_t* restrict_grp,  // (n,) or nullptr
     int32_t max_passes,
-    uint64_t seed) {
+    uint64_t seed,
+    int32_t randomized,
+    double theta_frac) {
   const int L = n_layers;
 
-  // community degree totals per layer (community ids < n+1)
+  // per-layer 2/2m_l premultiplied with the layer weight: the exact
+  // per-layer factor of ΔQ (layers of different mass must NOT be scaled
+  // by their own m_l, which a bare w_l factor would implicitly do)
+  std::vector<double> wscale(L);
+  for (int l = 0; l < L; l++) wscale[l] = layer_w[l] * 2.0 / two_m[l];
+
+  // community degree totals per layer and node counts (ids < n+1)
   std::vector<double> tots((size_t)L * (n + 1), 0.0);
+  std::vector<int64_t> comm_count(n + 1, 0);
   for (int l = 0; l < L; l++) {
     const double* deg = deg_all + (size_t)l * n;
     double* t = tots.data() + (size_t)l * (n + 1);
     for (int64_t i = 0; i < n; i++) t[labels[i]] += deg[i];
   }
+  for (int64_t i = 0; i < n; i++) comm_count[labels[i]]++;
+  // empty community ids — targets for split-off moves
+  std::vector<int64_t> free_ids;
+  for (int64_t c = n; c >= 0; c--)
+    if (comm_count[c] == 0) free_ids.push_back(c);
 
   // scratch: per-community accumulated edge weight per layer, with a
   // touched-list so clearing is O(#neighbors)
@@ -50,6 +81,8 @@ int multiplex_local_move(
   std::vector<uint8_t> seen(n + 1, 0);
   std::vector<int64_t> touched;
   touched.reserve(1024);
+  std::vector<double> gains;
+  gains.reserve(1024);
 
   std::vector<int64_t> order(n);
   for (int64_t i = 0; i < n; i++) order[i] = i;
@@ -59,16 +92,14 @@ int multiplex_local_move(
     int64_t j = (int64_t)(rng() % (uint64_t)(i + 1));
     std::swap(order[i], order[j]);
   }
+  std::uniform_real_distribution<double> unif(0.0, 1.0);
 
-  // Queue-based local moving (the "fast local move" of Traag et al.
-  // 2019, as in leidenalg): after the initial shuffled sweep, only nodes
-  // whose neighborhood changed — neighbors of a node that just moved —
-  // are revisited. On kNN graphs this visits ~2-4n nodes total where the
-  // full-sweep variant re-scanned all n edges per pass until quiescent.
   std::vector<int64_t> queue(order);
   std::vector<uint8_t> in_q(n, 1);
   size_t head = 0;
-  const uint64_t budget = (uint64_t)max_passes * (uint64_t)n;  // safety cap
+  const uint64_t budget = randomized
+      ? (uint64_t)n
+      : (uint64_t)max_passes * (uint64_t)n;  // safety cap
   uint64_t visits = 0;
 
   int improved_any = 0;
@@ -81,6 +112,7 @@ int multiplex_local_move(
     const int64_t i = queue[head++];
     in_q[i] = 0;
     const int64_t ci = labels[i];
+    if (randomized && comm_count[ci] != 1) continue;  // merged already
 
     // accumulate k_{i->comm} per layer
     touched.clear();
@@ -109,21 +141,64 @@ int multiplex_local_move(
 
     int64_t best_comm = ci;
     double best_gain = 0.0;
+    gains.clear();
     for (int64_t t_i = 0; t_i < (int64_t)touched.size(); t_i++) {
       const int64_t d = touched[t_i];
-      if (d == ci) continue;
+      if (d == ci) {
+        gains.push_back(0.0);
+        continue;
+      }
       double gain = 0.0;
       for (int l = 0; l < L; l++) {
         const double ki = deg_all[(size_t)l * n + i];
         const double* t = tots.data() + (size_t)l * (n + 1);
         const double tot_d = t[d];
         const double tot_c = t[ci] - ki;
-        gain += layer_w[l] * ((comm_w[(size_t)d * L + l] - base[l]) -
-                              gamma[l] * ki * (tot_d - tot_c) / two_m[l]);
+        gain += wscale[l] * ((comm_w[(size_t)d * L + l] - base[l]) -
+                             gamma[l] * ki * (tot_d - tot_c) / two_m[l]);
       }
+      gains.push_back(gain);
       if (gain > best_gain + 1e-12) {
         best_gain = gain;
         best_comm = d;
+      }
+    }
+
+    bool to_empty = false;
+    if (!randomized && comm_count[ci] > 1 && !free_ids.empty()) {
+      // split-off candidate: i alone in a fresh community
+      double gain = 0.0;
+      for (int l = 0; l < L; l++) {
+        const double ki = deg_all[(size_t)l * n + i];
+        const double tot_c = tots[(size_t)l * (n + 1) + ci] - ki;
+        gain += wscale[l] * (-base[l] + gamma[l] * ki * tot_c / two_m[l]);
+      }
+      if (gain > best_gain + 1e-12) {
+        best_gain = gain;
+        best_comm = free_ids.back();
+        to_empty = true;
+      }
+    }
+
+    if (randomized && best_gain > 0.0) {
+      // sample target ∝ exp(gain/theta) among {stay} ∪ {gain>0}
+      const double theta = theta_frac * best_gain + 1e-300;
+      double z = std::exp(-best_gain / theta);  // "stay", gain 0
+      for (size_t t_i = 0; t_i < touched.size(); t_i++)
+        if (gains[t_i] > 0.0 && touched[t_i] != ci)
+          z += std::exp((gains[t_i] - best_gain) / theta);
+      double r = unif(rng) * z - std::exp(-best_gain / theta);
+      best_comm = ci;  // default: stay
+      if (r >= 0.0) {
+        for (size_t t_i = 0; t_i < touched.size(); t_i++) {
+          if (gains[t_i] <= 0.0 || touched[t_i] == ci) continue;
+          r -= std::exp((gains[t_i] - best_gain) / theta);
+          if (r < 0.0) {
+            best_comm = touched[t_i];
+            break;
+          }
+        }
+        if (r >= 0.0) best_comm = ci;  // numerical tail
       }
     }
 
@@ -132,25 +207,31 @@ int multiplex_local_move(
       seen[touched[t_i]] = 0;
 
     if (best_comm != ci) {
+      if (to_empty) free_ids.pop_back();
       for (int l = 0; l < L; l++) {
         const double ki = deg_all[(size_t)l * n + i];
         double* t = tots.data() + (size_t)l * (n + 1);
         t[ci] -= ki;
         t[best_comm] += ki;
       }
+      comm_count[ci]--;
+      comm_count[best_comm]++;
+      if (comm_count[ci] == 0) free_ids.push_back(ci);
       labels[i] = best_comm;
       improved_any = 1;
-      // revisit neighbors whose best move may have changed: any neighbor
-      // not already queued and not in i's new community
-      for (int l = 0; l < L; l++) {
-        const int64_t* indptr = indptr_all + (size_t)l * (n + 1);
-        const int32_t* idx = indices_all + payload_off[l];
-        for (int64_t p = indptr[i]; p < indptr[i + 1]; p++) {
-          const int64_t j = idx[p];
-          if (j == i || in_q[j] || labels[j] == best_comm) continue;
-          if (restrict_grp && restrict_grp[j] != restrict_grp[i]) continue;
-          in_q[j] = 1;
-          queue.push_back(j);
+      if (!randomized) {
+        // revisit neighbors whose best move may have changed: any
+        // neighbor not already queued and not in i's new community
+        for (int l = 0; l < L; l++) {
+          const int64_t* indptr = indptr_all + (size_t)l * (n + 1);
+          const int32_t* idx = indices_all + payload_off[l];
+          for (int64_t p = indptr[i]; p < indptr[i + 1]; p++) {
+            const int64_t j = idx[p];
+            if (j == i || in_q[j] || labels[j] == best_comm) continue;
+            if (restrict_grp && restrict_grp[j] != restrict_grp[i]) continue;
+            in_q[j] = 1;
+            queue.push_back(j);
+          }
         }
       }
     }

@@ -17,7 +17,44 @@ from __future__ import annotations
 import numpy as np
 from scipy import sparse as sp
 
-__all__ = ["multiplex_leiden", "leiden_labels"]
+__all__ = ["multiplex_leiden", "leiden_labels", "multiplex_modularity"]
+
+
+def multiplex_modularity(
+    adjacencies, labels, resolutions=None, layer_weights=None
+):
+    """RB-configuration quality of a partition summed over layers — the
+    exact objective ``multiplex_leiden`` optimizes (leidenalg's
+    ``optimise_partition_multiplex`` objective, reference
+    muon/_core/tools.py:1034-1038):
+
+        Q = Σ_l w_l · Σ_c ( in_c / 2m_l − γ_l (tot_c / 2m_l)² )
+
+    with in_c the intra-community weight (ordered pairs), tot_c the
+    community degree sum, each layer symmetrized and diagonal-dropped
+    exactly as the optimizer sees it. Used by the quality tests to
+    compare achieved values against brute-force optima."""
+    L = len(adjacencies)
+    if resolutions is None:
+        resolutions = [1.0] * L
+    if layer_weights is None:
+        layer_weights = [1.0] * L
+    labels = np.asarray(labels)
+    q = 0.0
+    for A, gamma, w in zip(adjacencies, resolutions, layer_weights):
+        lay = _Layer(sp.csr_matrix(A), float(gamma), float(w))
+        n_comm = int(labels.max()) + 1
+        P = sp.csr_matrix(
+            (np.ones(len(labels)), (np.arange(len(labels)), labels)),
+            shape=(len(labels), n_comm),
+        )
+        in_c = np.asarray((P.T @ lay.A @ P).diagonal())
+        tot = np.zeros(n_comm)
+        np.add.at(tot, labels, lay.deg)
+        q += w * float(
+            (in_c / lay.two_m - gamma * (tot / lay.two_m) ** 2).sum()
+        )
+    return q
 
 
 class _Layer:
@@ -49,7 +86,8 @@ class _Layer:
         self.A = A
 
 
-def _local_move_native(layers, labels, rng, max_passes=20, restrict=None):
+def _local_move_native(layers, labels, rng, max_passes=20, restrict=None,
+                       randomized=False, theta_frac=0.5):
     """Native (C++) sequential local moving — the hot loop the reference
     runs inside leidenalg (muon/_core/tools.py:1034). Falls back to the
     pure-Python implementation if the toolchain is unavailable."""
@@ -88,38 +126,48 @@ def _local_move_native(layers, labels, rng, max_passes=20, restrict=None):
         p(gamma, C.c_double), p(lw, C.c_double),
         p(labels64, C.c_int64), rptr,
         int(max_passes), int(rng.integers(0, 2**63 - 1)),
+        int(bool(randomized)), float(theta_frac),
     )
     labels[:] = labels64
     return bool(improved)
 
 
-def _local_move(layers, labels, rng, max_passes=20, restrict=None):
+def _local_move(layers, labels, rng, max_passes=20, restrict=None,
+                randomized=False, theta_frac=0.5):
     """Local moving; native C++ engine with pure-Python fallback."""
     try:
-        return _local_move_native(layers, labels, rng, max_passes, restrict)
+        return _local_move_native(layers, labels, rng, max_passes, restrict,
+                                  randomized, theta_frac)
     except (RuntimeError, OSError):
-        return _local_move_py(layers, labels, rng, max_passes, restrict)
+        return _local_move_py(layers, labels, rng, max_passes, restrict,
+                              randomized, theta_frac)
 
 
-def _local_move_py(layers, labels, rng, max_passes=20, restrict=None):
+def _local_move_py(layers, labels, rng, max_passes=20, restrict=None,
+                   randomized=False, theta_frac=0.5):
     """Sequential local moving. If `restrict` is given (array of labels),
     nodes may only join communities within the same restricted group
-    (used for Leiden refinement)."""
+    (used for Leiden refinement). ``randomized`` is the Traag et al. 2019
+    merge procedure: one pass, only currently-singleton nodes move, and
+    the target among positive-gain candidates (and "stay") is sampled
+    ∝ exp(gain/θ) with θ = theta_frac · max_gain."""
     n = len(labels)
-    # community totals per layer
-    tots = [np.zeros(labels.max() + 2) for _ in layers]
+    # community totals per layer and node counts
+    tots = [np.zeros(n + 1) for _ in layers]
     for li, L in enumerate(layers):
         np.add.at(tots[li], labels, L.deg)
+    comm_count = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(comm_count, labels, 1)
+    free_ids = list(np.flatnonzero(comm_count == 0)[::-1])
 
     improved_any = False
-    for _ in range(max_passes):
+    for _ in range(1 if randomized else max_passes):
         moved = 0
         order = rng.permutation(n)
         for i in order:
             ci = labels[i]
-            # gather neighbor communities and per-layer edge weights
-            best_comm = ci
-            best_gain = 0.0
+            if randomized and comm_count[ci] != 1:
+                continue  # already merged
             # accumulate k_{i→comm} for each layer
             comm_w = {}
             for li, L in enumerate(layers):
@@ -134,7 +182,11 @@ def _local_move_py(layers, labels, rng, max_passes=20, restrict=None):
                         comm_w[key] = np.zeros(len(layers))
                     comm_w[key][li] += w_
             base = comm_w.get(ci, np.zeros(len(layers)))
-            # gain of leaving ci then joining d
+            # gain of leaving ci then joining d; per-layer factor is the
+            # exact ΔQ_l scale w_l·2/2m_l (layers of different masses must
+            # not be implicitly reweighted by their own m_l)
+            best_comm, best_gain = ci, 0.0
+            cand = {}
             for d, kw in comm_w.items():
                 if d == ci:
                     continue
@@ -143,17 +195,52 @@ def _local_move_py(layers, labels, rng, max_passes=20, restrict=None):
                     ki = L.deg[i]
                     tot_d = tots[li][d]
                     tot_c = tots[li][ci] - ki
-                    gain += L.w * (
+                    gain += L.w * (2.0 / L.two_m) * (
                         (kw[li] - base[li])
                         - L.gamma * ki * (tot_d - tot_c) / L.two_m
                     )
+                cand[d] = gain
                 if gain > best_gain + 1e-12:
                     best_gain = gain
                     best_comm = d
+            to_empty = False
+            if not randomized and comm_count[ci] > 1 and free_ids:
+                # split-off candidate: i alone in a fresh community
+                gain = 0.0
+                for li, L in enumerate(layers):
+                    ki = L.deg[i]
+                    tot_c = tots[li][ci] - ki
+                    gain += L.w * (2.0 / L.two_m) * (
+                        -base[li] + L.gamma * ki * tot_c / L.two_m
+                    )
+                if gain > best_gain + 1e-12:
+                    best_gain = gain
+                    best_comm = free_ids[-1]
+                    to_empty = True
+            if randomized and best_gain > 0.0:
+                theta = theta_frac * best_gain + 1e-300
+                ds = [d for d, g in cand.items() if g > 0.0]
+                ws = np.array(
+                    [np.exp((cand[d] - best_gain) / theta) for d in ds]
+                )
+                stay = np.exp(-best_gain / theta)
+                r = rng.random() * (stay + ws.sum()) - stay
+                best_comm = ci
+                if r >= 0.0:
+                    c = np.cumsum(ws)
+                    k = int(np.searchsorted(c, r, side="right"))
+                    if k < len(ds):
+                        best_comm = ds[k]
             if best_comm != ci:
+                if to_empty:
+                    free_ids.pop()
                 for li, L in enumerate(layers):
                     tots[li][ci] -= L.deg[i]
                     tots[li][best_comm] += L.deg[i]
+                comm_count[ci] -= 1
+                comm_count[best_comm] += 1
+                if comm_count[ci] == 0:
+                    free_ids.append(ci)
                 labels[i] = best_comm
                 moved += 1
                 improved_any = True
@@ -163,10 +250,12 @@ def _local_move_py(layers, labels, rng, max_passes=20, restrict=None):
 
 
 def _refine(layers, labels, rng):
-    """Leiden refinement: within each community, rebuild from singletons by
-    local moving restricted to the community."""
+    """Leiden refinement (Traag et al. 2019): within each community,
+    rebuild from singletons by RANDOMIZED merging restricted to the
+    community — the stochastic subpartition is what lets the aggregated
+    level escape local optima a deterministic re-merge would freeze."""
     refined = np.arange(len(labels))
-    _local_move(layers, refined, rng, max_passes=3, restrict=labels)
+    _local_move(layers, refined, rng, restrict=labels, randomized=True)
     # relabel contiguous
     _, refined = np.unique(refined, return_inverse=True)
     return refined
@@ -185,36 +274,26 @@ def _aggregate(layers, labels):
     return new_layers
 
 
-def multiplex_leiden(
-    adjacencies,
-    resolutions=None,
-    layer_weights=None,
-    seed: int = 0,
-    refine: bool = True,
-    max_levels: int = 10,
-):
-    """Cluster one shared partition over multiple graph layers.
-
-    Returns integer labels (n,) relabeled by decreasing community size
-    (matching the common leidenalg output convention)."""
-    L = len(adjacencies)
-    n = adjacencies[0].shape[0]
-    if resolutions is None:
-        resolutions = [1.0] * L
-    if layer_weights is None:
-        layer_weights = [1.0] * L
-    rng = np.random.default_rng(seed)
-    layers = [
-        _Layer(adjacencies[i], float(resolutions[i]), float(layer_weights[i]))
-        for i in range(L)
-    ]
-    labels = np.arange(n)
+def _leiden_once(layers0, rng, init_labels, refine, max_levels):
+    """One full move→refine→aggregate descent from ``init_labels``,
+    returning fine-level labels."""
+    n = len(init_labels)
+    layers = layers0
+    labels = init_labels.copy()
     mapping = np.arange(n)  # original node -> current supernode
 
     for _level in range(max_levels):
         improved = _local_move(layers, labels, rng)
         # compact labels
         _, labels = np.unique(labels, return_inverse=True)
+        # fixed point: nothing moved and every community is already a
+        # single supernode — refinement could not split anything and
+        # aggregation would be the identity. Breaking merely on "no node
+        # moved" would skip the coarse-level move over the refined
+        # subcommunities, which is exactly the escape route out of local
+        # optima (a whole subcommunity relocating at once).
+        if not improved and labels.max() + 1 == len(labels):
+            break
         if refine:
             refined = _refine(layers, labels, rng)
             # aggregate on the refined partition; communities of `labels`
@@ -228,10 +307,76 @@ def multiplex_leiden(
             layers = _aggregate(layers, labels)
             mapping = labels[mapping]
             labels = np.arange(labels.max() + 1)
-        if not improved:
-            break
+    return labels[mapping]
 
-    final = labels[mapping]
+
+def _quality(layers, labels):
+    """RB quality of a partition against already-prepared layers."""
+    n_comm = int(labels.max()) + 1
+    q = 0.0
+    for lay in layers:
+        P = sp.csr_matrix(
+            (np.ones(len(labels)), (np.arange(len(labels)), labels)),
+            shape=(len(labels), n_comm),
+        )
+        in_c = np.asarray((P.T @ lay.A @ P).diagonal())
+        tot = np.zeros(n_comm)
+        np.add.at(tot, labels, lay.deg)
+        q += lay.w * float(
+            (in_c / lay.two_m - lay.gamma * (tot / lay.two_m) ** 2).sum()
+        )
+    return q
+
+
+def multiplex_leiden(
+    adjacencies,
+    resolutions=None,
+    layer_weights=None,
+    seed: int = 0,
+    refine: bool = True,
+    max_levels: int = 10,
+    n_iterations: int = 3,
+):
+    """Cluster one shared partition over multiple graph layers.
+
+    Runs up to ``n_iterations`` full descents, feeding the achieved
+    partition back as the next start (leidenalg's ``n_iterations``
+    semantics: with randomized refinement each descent can escape the
+    previous local optimum; stops early when the objective stalls).
+
+    Returns integer labels (n,) relabeled by decreasing community size
+    (matching the common leidenalg output convention)."""
+    L = len(adjacencies)
+    n = adjacencies[0].shape[0]
+    if resolutions is None:
+        resolutions = [1.0] * L
+    if layer_weights is None:
+        layer_weights = [1.0] * L
+    rng = np.random.default_rng(seed)
+    layers0 = [
+        _Layer(adjacencies[i], float(resolutions[i]), float(layer_weights[i]))
+        for i in range(L)
+    ]
+    best, best_q = None, -np.inf
+    labels = np.arange(n)
+    for it in range(max(1, n_iterations)):
+        if it > 0 and it % 3 == 0:
+            # periodic fresh restart: a different shuffled greedy descent
+            # from singletons explores a different basin than refinement
+            # of the incumbent can reach
+            labels = np.arange(n)
+        labels = _leiden_once(layers0, rng, labels, refine, max_levels)
+        q = _quality(layers0, labels)
+        # keep the best partition but DON'T stop on a flat iteration:
+        # refinement is stochastic, so the next descent explores a
+        # different subcommunity structure (leidenalg n_iterations
+        # semantics — a fixed number of full descents)
+        if q > best_q:
+            best, best_q = labels, q
+        else:
+            labels = best
+
+    final = best
     # order communities by size, descending
     vals, counts = np.unique(final, return_counts=True)
     order = vals[np.argsort(-counts)]

@@ -63,6 +63,32 @@ class TestMultichip:
         # unknown width keeps the historical default
         assert mesh_split(16) == (8, 2)
 
+    def test_16_device_mesh_subprocess(self):
+        """Pod-readiness (VERDICT r2 #9 done-criterion): the sharded MOFA
+        step and the sharded pipeline execute on a 16-virtual-device mesh.
+        Runs in a subprocess because this process's backend is pinned to 8
+        devices by conftest."""
+        import os
+        import subprocess
+        import sys
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        code = (
+            "import jax\n"
+            "jax.config.update('jax_num_cpu_devices', 16)\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "import sys; sys.path.insert(0, %r)\n"
+            "from __graft_entry__ import dryrun_multichip\n"
+            "dryrun_multichip(16)\n" % root
+        )
+        env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+        out = subprocess.run(
+            [sys.executable, "-c", code], env=env, capture_output=True,
+            text=True, timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert "dryrun_multichip OK" in out.stdout, out.stdout
+
     def test_fit_mofa_with_mesh(self):
         """End-to-end sharded training through fit_mofa(mesh=...)."""
         from muon_tpu.models.mofa import MOFAConfig, fit_mofa
