@@ -75,14 +75,17 @@ int multiplex_local_move(
   for (int64_t c = n; c >= 0; c--)
     if (comm_count[c] == 0) free_ids.push_back(c);
 
-  // scratch: per-community accumulated edge weight per layer, with a
-  // touched-list so clearing is O(#neighbors)
-  std::vector<double> comm_w((size_t)(n + 1) * L, 0.0);
-  std::vector<uint8_t> seen(n + 1, 0);
+  // scratch: slot-compacted per-community edge weights — touched
+  // communities get sequential slots so the accumulation stays in L1
+  // instead of striding a (n+1)*L array, and no per-community clear loop
+  // is needed (slot_of reset via the touched list)
+  std::vector<int32_t> slot_of(n + 1, -1);
+  std::vector<double> comm_w;   // (slot, layer), grown on demand
+  comm_w.reserve(4096 * L);
   std::vector<int64_t> touched;
-  touched.reserve(1024);
+  touched.reserve(4096);
   std::vector<double> gains;
-  gains.reserve(1024);
+  gains.reserve(4096);
 
   std::vector<int64_t> order(n);
   for (int64_t i = 0; i < n; i++) order[i] = i;
@@ -114,7 +117,7 @@ int multiplex_local_move(
     const int64_t ci = labels[i];
     if (randomized && comm_count[ci] != 1) continue;  // merged already
 
-    // accumulate k_{i->comm} per layer
+    // accumulate k_{i->comm} per layer into compacted slots
     touched.clear();
     for (int l = 0; l < L; l++) {
       const int64_t* indptr = indptr_all + (size_t)l * (n + 1);
@@ -125,19 +128,24 @@ int multiplex_local_move(
         if (j == i) continue;  // self-loop moves with the node
         if (restrict_grp && restrict_grp[j] != restrict_grp[i]) continue;
         const int64_t c = labels[j];
-        if (!seen[c]) {
-          seen[c] = 1;
+        int32_t s = slot_of[c];
+        if (s < 0) {
+          s = (int32_t)touched.size();
+          slot_of[c] = s;
           touched.push_back(c);
-          for (int ll = 0; ll < L; ll++) comm_w[(size_t)c * L + ll] = 0.0;
+          if (comm_w.size() < (size_t)(s + 1) * L)
+            comm_w.resize((size_t)(s + 1) * L);
+          for (int ll = 0; ll < L; ll++) comm_w[(size_t)s * L + ll] = 0.0;
         }
-        comm_w[(size_t)c * L + l] += dat[p];
+        comm_w[(size_t)s * L + l] += dat[p];
       }
     }
 
     // gain of moving i: ci -> d
     double base[16];  // L capped in the Python wrapper
+    const int32_t ci_slot = slot_of[ci];
     for (int l = 0; l < L; l++)
-      base[l] = seen[ci] ? comm_w[(size_t)ci * L + l] : 0.0;
+      base[l] = ci_slot >= 0 ? comm_w[(size_t)ci_slot * L + l] : 0.0;
 
     int64_t best_comm = ci;
     double best_gain = 0.0;
@@ -154,7 +162,7 @@ int multiplex_local_move(
         const double* t = tots.data() + (size_t)l * (n + 1);
         const double tot_d = t[d];
         const double tot_c = t[ci] - ki;
-        gain += wscale[l] * ((comm_w[(size_t)d * L + l] - base[l]) -
+        gain += wscale[l] * ((comm_w[(size_t)t_i * L + l] - base[l]) -
                              gamma[l] * ki * (tot_d - tot_c) / two_m[l]);
       }
       gains.push_back(gain);
@@ -204,7 +212,7 @@ int multiplex_local_move(
 
     // clear scratch before any re-enqueueing (touched is reused)
     for (int64_t t_i = 0; t_i < (int64_t)touched.size(); t_i++)
-      seen[touched[t_i]] = 0;
+      slot_of[touched[t_i]] = -1;
 
     if (best_comm != ci) {
       if (to_empty) free_ids.pop_back();

@@ -56,18 +56,44 @@ class _Layer:
         drop_selfloops: bool = True,
         assume_symmetric: bool = False,
     ):
-        A = A.tocsr().astype(np.float64)
-        if not assume_symmetric:
-            A = (A + A.T) / 2.0  # symmetrize
-        if drop_selfloops:
-            # only for INPUT graphs (kNN connectivities carry no diagonal
-            # anyway). Aggregated levels must keep self-loops: they hold the
-            # intra-community weight, and dropping them from deg/two_m would
-            # change the objective away from RB modularity of the original
-            # graph (ADVICE r1 #2). The local-move scans skip j == i, so a
-            # kept diagonal never contaminates the k_{i->comm} gathers.
-            A.setdiag(0.0)
-            A.eliminate_zeros()
+        A = A.tocsr()
+        if A.dtype != np.float64:
+            A = A.astype(np.float64)
+        if not assume_symmetric or drop_selfloops:
+            # one-pass COO build: symmetrize by mirroring the triplets and
+            # drop the diagonal BEFORE construction — the scipy chain
+            # (A+Aᵀ)/2 → setdiag(0) → eliminate_zeros costs 3 full
+            # sort/copy passes (~6s/layer at 4M nnz, measured) vs one here
+            n = A.shape[0]
+            rows = np.repeat(
+                np.arange(n, dtype=np.int64), np.diff(A.indptr)
+            )
+            cols = A.indices.astype(np.int64, copy=False)
+            if drop_selfloops:
+                # only for INPUT graphs (kNN connectivities carry no
+                # diagonal anyway). Aggregated levels must keep
+                # self-loops: they hold the intra-community weight, and
+                # dropping them from deg/two_m would change the objective
+                # away from RB modularity of the original graph (ADVICE
+                # r1 #2). The local-move scans skip j == i, so a kept
+                # diagonal never contaminates the k_{i->comm} gathers.
+                keep = rows != cols
+                rows, cols, data = rows[keep], cols[keep], A.data[keep]
+            else:
+                data = A.data
+            if not assume_symmetric:
+                A = sp.csr_matrix(
+                    (
+                        np.concatenate([data, data]) * 0.5,
+                        (
+                            np.concatenate([rows, cols]),
+                            np.concatenate([cols, rows]),
+                        ),
+                    ),
+                    shape=A.shape,
+                )
+            else:
+                A = sp.csr_matrix((data, (rows, cols)), shape=A.shape)
         self.indptr = A.indptr
         self.indices = A.indices
         self.data = A.data
@@ -76,6 +102,42 @@ class _Layer:
         self.gamma = resolution
         self.w = weight
         self.A = A
+
+
+def _flat_arrays(layers):
+    """Concatenated CSR payloads for the native engine, built once per
+    level and cached on the first layer (the astype/concatenate copies
+    cost as much as the C++ sweep itself at 1M cells when redone for
+    every move/refine call)."""
+    key = tuple(id(L_) for L_ in layers)
+    cached = getattr(layers[0], "_flat", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    if len(layers) > 16:
+        raise ValueError("at most 16 layers supported by the native engine")
+    indptr_all = np.concatenate(
+        [L_.indptr.astype(np.int64, copy=False) for L_ in layers]
+    )
+    indices_all = np.concatenate(
+        [L_.indices.astype(np.int32, copy=False) for L_ in layers]
+    )
+    data_all = np.concatenate(
+        [L_.data.astype(np.float64, copy=False) for L_ in layers]
+    )
+    sizes = np.asarray([len(L_.indices) for L_ in layers], np.int64)
+    payload_off = np.concatenate(
+        [[0], np.cumsum(sizes)[:-1]]
+    ).astype(np.int64)
+    deg_all = np.concatenate(
+        [L_.deg.astype(np.float64, copy=False) for L_ in layers]
+    )
+    two_m = np.asarray([L_.two_m for L_ in layers], np.float64)
+    gamma = np.asarray([L_.gamma for L_ in layers], np.float64)
+    lw = np.asarray([L_.w for L_ in layers], np.float64)
+    flat = (indptr_all, indices_all, data_all, payload_off, deg_all,
+            two_m, gamma, lw)
+    layers[0]._flat = (key, flat)
+    return flat
 
 
 def _local_move_native(layers, labels, rng, max_passes=20, restrict=None,
@@ -89,19 +151,8 @@ def _local_move_native(layers, labels, rng, max_passes=20, restrict=None,
     lib = load_leiden_lib()
     n = len(labels)
     L = len(layers)
-    if L > 16:
-        raise ValueError("at most 16 layers supported by the native engine")
-    indptr_all = np.concatenate([L_.indptr.astype(np.int64) for L_ in layers])
-    indices_all = np.concatenate(
-        [L_.indices.astype(np.int32) for L_ in layers]
-    )
-    data_all = np.concatenate([L_.data.astype(np.float64) for L_ in layers])
-    sizes = np.asarray([len(L_.indices) for L_ in layers], np.int64)
-    payload_off = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
-    deg_all = np.concatenate([L_.deg.astype(np.float64) for L_ in layers])
-    two_m = np.asarray([L_.two_m for L_ in layers], np.float64)
-    gamma = np.asarray([L_.gamma for L_ in layers], np.float64)
-    lw = np.asarray([L_.w for L_ in layers], np.float64)
+    (indptr_all, indices_all, data_all, payload_off, deg_all, two_m,
+     gamma, lw) = _flat_arrays(layers)
     labels64 = np.ascontiguousarray(labels, dtype=np.int64)
     if restrict is not None:
         restrict64 = np.ascontiguousarray(restrict, dtype=np.int64)
