@@ -99,6 +99,31 @@ class TestLeidenQuality:
     fixtures — leidenalg's C++ optimizer is the bar
     (reference muon/_core/tools.py:1034-1038)."""
 
+    def test_split_off_move(self):
+        """The local move must consider ISOLATING a node (classic Louvain
+        move set): start from an all-in-one partition of two triangles
+        joined by one weak edge at high resolution — every node leaving to
+        a singleton is a positive-gain move, so the optimizer must not
+        report the one-community partition as a fixed point. Both engines
+        (C++ and the pure-python fallback) are exercised."""
+        from muon_tpu.ops import leiden as L
+
+        A = np.zeros((6, 6))
+        for (i, j) in [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]:
+            A[i, j] = A[j, i] = 1.0
+        A[2, 3] = A[3, 2] = 0.1
+        layers = [L._Layer(sp.csr_matrix(A), 4.0, 1.0)]
+
+        for engine in ("native", "python"):
+            labels = np.zeros(6, dtype=np.int64)  # stuck all-in-one
+            rng = np.random.default_rng(0)
+            if engine == "native":
+                moved = L._local_move_native(layers, labels, rng)
+            else:
+                moved = L._local_move_py(layers, labels, rng)
+            assert moved, engine
+            assert len(np.unique(labels)) > 1, (engine, labels)
+
     @staticmethod
     def _all_partitions(n):
         """All set partitions of range(n) as label arrays (restricted
