@@ -13,6 +13,13 @@
 //
 // Layers arrive flattened: indptr_all is L stacked (n+1)-vectors,
 // indices/data are stacked CSR payloads with per-layer offsets.
+//
+// Memory layout notes (the loop is cache-miss-bound, not FLOP-bound):
+// community totals are stored community-major (n+1, L) so the gain loop
+// touches ONE cache line per candidate community; per-community edge
+// weights live in slot-compacted scratch that stays in L1; the neighbor
+// list collected during accumulation is reused for re-enqueueing so a
+// move never re-reads the CSR payload.
 
 #include <cmath>
 #include <cstdint>
@@ -58,18 +65,20 @@ int multiplex_local_move(
   // per-layer 2/2m_l premultiplied with the layer weight: the exact
   // per-layer factor of ΔQ (layers of different mass must NOT be scaled
   // by their own m_l, which a bare w_l factor would implicitly do)
-  std::vector<double> wscale(L);
-  for (int l = 0; l < L; l++) wscale[l] = layer_w[l] * 2.0 / two_m[l];
-
-  // community degree totals per layer and node counts (ids < n+1)
-  std::vector<double> tots((size_t)L * (n + 1), 0.0);
-  std::vector<int64_t> comm_count(n + 1, 0);
+  double wscale[16], g_over_2m[16];
   for (int l = 0; l < L; l++) {
-    const double* deg = deg_all + (size_t)l * n;
-    double* t = tots.data() + (size_t)l * (n + 1);
-    for (int64_t i = 0; i < n; i++) t[labels[i]] += deg[i];
+    wscale[l] = layer_w[l] * 2.0 / two_m[l];
+    g_over_2m[l] = gamma[l] / two_m[l];
   }
-  for (int64_t i = 0; i < n; i++) comm_count[labels[i]]++;
+
+  // community degree totals, community-major (n+1, L), and node counts
+  std::vector<double> tots((size_t)(n + 1) * L, 0.0);
+  std::vector<int64_t> comm_count(n + 1, 0);
+  for (int64_t i = 0; i < n; i++) {
+    double* t = tots.data() + (size_t)labels[i] * L;
+    for (int l = 0; l < L; l++) t[l] += deg_all[(size_t)l * n + i];
+    comm_count[labels[i]]++;
+  }
   // empty community ids — targets for split-off moves
   std::vector<int64_t> free_ids;
   for (int64_t c = n; c >= 0; c--)
@@ -86,6 +95,8 @@ int multiplex_local_move(
   touched.reserve(4096);
   std::vector<double> gains;
   gains.reserve(4096);
+  std::vector<int32_t> nbrs;    // neighbors seen this visit (for re-enqueue)
+  nbrs.reserve(4096);
 
   std::vector<int64_t> order(n);
   for (int64_t i = 0; i < n; i++) order[i] = i;
@@ -117,8 +128,10 @@ int multiplex_local_move(
     const int64_t ci = labels[i];
     if (randomized && comm_count[ci] != 1) continue;  // merged already
 
-    // accumulate k_{i->comm} per layer into compacted slots
+    // accumulate k_{i->comm} per layer into compacted slots, remembering
+    // the neighbor ids so a move can re-enqueue without re-reading CSR
     touched.clear();
+    nbrs.clear();
     for (int l = 0; l < L; l++) {
       const int64_t* indptr = indptr_all + (size_t)l * (n + 1);
       const int32_t* idx = indices_all + payload_off[l];
@@ -128,6 +141,7 @@ int multiplex_local_move(
         if (j == i) continue;  // self-loop moves with the node
         if (restrict_grp && restrict_grp[j] != restrict_grp[i]) continue;
         const int64_t c = labels[j];
+        nbrs.push_back((int32_t)j);
         int32_t s = slot_of[c];
         if (s < 0) {
           s = (int32_t)touched.size();
@@ -142,10 +156,15 @@ int multiplex_local_move(
     }
 
     // gain of moving i: ci -> d
-    double base[16];  // L capped in the Python wrapper
+    double base[16], ki[16];  // L capped in the Python wrapper
     const int32_t ci_slot = slot_of[ci];
-    for (int l = 0; l < L; l++)
+    for (int l = 0; l < L; l++) {
       base[l] = ci_slot >= 0 ? comm_w[(size_t)ci_slot * L + l] : 0.0;
+      ki[l] = deg_all[(size_t)l * n + i];
+    }
+    const double* tot_ci = tots.data() + (size_t)ci * L;
+    double tot_c[16];
+    for (int l = 0; l < L; l++) tot_c[l] = tot_ci[l] - ki[l];
 
     int64_t best_comm = ci;
     double best_gain = 0.0;
@@ -156,15 +175,12 @@ int multiplex_local_move(
         gains.push_back(0.0);
         continue;
       }
+      const double* tot_d = tots.data() + (size_t)d * L;
+      const double* cw = comm_w.data() + (size_t)t_i * L;
       double gain = 0.0;
-      for (int l = 0; l < L; l++) {
-        const double ki = deg_all[(size_t)l * n + i];
-        const double* t = tots.data() + (size_t)l * (n + 1);
-        const double tot_d = t[d];
-        const double tot_c = t[ci] - ki;
-        gain += wscale[l] * ((comm_w[(size_t)t_i * L + l] - base[l]) -
-                             gamma[l] * ki * (tot_d - tot_c) / two_m[l]);
-      }
+      for (int l = 0; l < L; l++)
+        gain += wscale[l] * ((cw[l] - base[l]) -
+                             g_over_2m[l] * ki[l] * (tot_d[l] - tot_c[l]));
       gains.push_back(gain);
       if (gain > best_gain + 1e-12) {
         best_gain = gain;
@@ -176,11 +192,8 @@ int multiplex_local_move(
     if (!randomized && comm_count[ci] > 1 && !free_ids.empty()) {
       // split-off candidate: i alone in a fresh community
       double gain = 0.0;
-      for (int l = 0; l < L; l++) {
-        const double ki = deg_all[(size_t)l * n + i];
-        const double tot_c = tots[(size_t)l * (n + 1) + ci] - ki;
-        gain += wscale[l] * (-base[l] + gamma[l] * ki * tot_c / two_m[l]);
-      }
+      for (int l = 0; l < L; l++)
+        gain += wscale[l] * (-base[l] + g_over_2m[l] * ki[l] * tot_c[l]);
       if (gain > best_gain + 1e-12) {
         best_gain = gain;
         best_comm = free_ids.back();
@@ -216,11 +229,11 @@ int multiplex_local_move(
 
     if (best_comm != ci) {
       if (to_empty) free_ids.pop_back();
+      double* t_old = tots.data() + (size_t)ci * L;
+      double* t_new = tots.data() + (size_t)best_comm * L;
       for (int l = 0; l < L; l++) {
-        const double ki = deg_all[(size_t)l * n + i];
-        double* t = tots.data() + (size_t)l * (n + 1);
-        t[ci] -= ki;
-        t[best_comm] += ki;
+        t_old[l] -= ki[l];
+        t_new[l] += ki[l];
       }
       comm_count[ci]--;
       comm_count[best_comm]++;
@@ -229,17 +242,13 @@ int multiplex_local_move(
       improved_any = 1;
       if (!randomized) {
         // revisit neighbors whose best move may have changed: any
-        // neighbor not already queued and not in i's new community
-        for (int l = 0; l < L; l++) {
-          const int64_t* indptr = indptr_all + (size_t)l * (n + 1);
-          const int32_t* idx = indices_all + payload_off[l];
-          for (int64_t p = indptr[i]; p < indptr[i + 1]; p++) {
-            const int64_t j = idx[p];
-            if (j == i || in_q[j] || labels[j] == best_comm) continue;
-            if (restrict_grp && restrict_grp[j] != restrict_grp[i]) continue;
-            in_q[j] = 1;
-            queue.push_back(j);
-          }
+        // neighbor not already queued and not in i's new community —
+        // replayed from the nbrs buffer, no CSR re-read
+        for (size_t p = 0; p < nbrs.size(); p++) {
+          const int64_t j = nbrs[p];
+          if (in_q[j] || labels[j] == best_comm) continue;
+          in_q[j] = 1;
+          queue.push_back(j);
         }
       }
     }
