@@ -74,38 +74,46 @@ def spectral_init(graph: sp.csr_matrix, n_components: int, seed: int = 0):
 
 
 @lru_cache(maxsize=None)
-def _optimize_layout_fn():
-    """Symmetric-graph SGD epochs over the dense-row edge layout.
+def _optimize_layout_bucketed_fn():
+    """Symmetric-graph SGD epochs over PER-STRIDE dense-row edge layouts.
 
-    Every edge lives in one (row, slot) cell of an (n_rows, Dmax) grid
-    (heads with more than Dmax edges own several rows), built once on
-    host. An epoch is then pure GATHER + dense wide reduction:
+    umap-learn's due schedule touches each edge only every
+    ``epochs_per_sample`` epochs — on real fuzzy graphs the mean due
+    fraction is ~0.19 (measured, 50k-cell 12-cluster fixture), so an
+    epoch kernel that gathers EVERY edge and masks does ~5× excess HBM
+    work. Edges are therefore bucketed by ⌊log2(eps)⌋ (strides 1, 2, 4,
+    …, 32) and bucket b is processed only every 2^b epochs inside a
+    ``lax.cond`` — a skipped bucket costs nothing. Because stride_b ≤
+    min(eps in bucket), at most one due event accrues between
+    processings, so every edge still fires exactly on its own schedule
+    (≤ stride−1 epochs late, ≤ 31 of 200 for the weakest edges — the
+    annealing α moves <16% within that window). Symmetry is preserved
+    per bucket: (i,j) and (j,i) share a weight, hence an eps, hence a
+    bucket, so the tail-fold (2× head update) stays valid.
 
-        t   = emb[tails_l]            # one big gather, the only one
-        h   = emb[row_head][:, None]  # n_rows gathers, broadcast
-        g   = clip(coeff · (h − t))   # (n_rows, Dmax, dim), fused
-        upd = segsum(g.sum(1), row_head)
-
-    No scatter and no long narrow segment_sum anywhere: both measured
-    ~2.4s/epoch at 40M edges for width-2 rows on this toolchain, vs
-    234ms for the equivalent gather. The due-schedule state (eons) lives
-    in layout shape; padding slots carry eps=∞ (never due)."""
+    Repulsion uses the EXPECTED per-epoch due rate Σ_e 1/eps_e per
+    vertex (``dc_exp``, precomputed on host) instead of the realized
+    per-epoch due count: the expectation matches umap-learn's
+    negative-rounds-per-due-edge exactly, and the realized count is
+    BURSTY under bucketing (a whole bucket's dues land on its stride
+    epochs) — measured on the 4-cluster fixture, burst-scaled repulsion
+    degraded cluster separation 0.20→0.65 while the expectation form
+    reproduces the unbucketed 0.20."""
     jax, jnp = _jax()
 
-    @partial(jax.jit, static_argnames=("n_run", "n_epochs", "neg_rate"))
-    def f(emb, eons_l, tails_l, row_head, eps_l, epoch0, n_run, n_epochs,
-          a, b, gamma, init_alpha, neg_rate, key):
+    @partial(jax.jit, static_argnames=("n_run", "n_epochs", "neg_rate",
+                                       "strides"))
+    def f(emb, eons_bs, tails_bs, row_head_bs, eps_bs, dc_exp, epoch0,
+          n_run, n_epochs, a, b, gamma, init_alpha, neg_rate, key,
+          strides):
         n = emb.shape[0]
+        B = len(strides)
 
-        def epoch_body(i, carry):
-            emb, eons_l, key = carry
-            epoch = epoch0 + i
-            alpha = init_alpha * (1.0 - epoch / n_epochs)
+        def bucket_pass(emb, eons_l, tails_l, row_head, eps_l, epoch):
             due = eons_l <= (epoch + 1.0)            # (n_rows, Dmax)
-
             nr, Dm = tails_l.shape
             t = emb[tails_l.reshape(-1)].reshape(nr, Dm, -1)
-            h = emb[row_head][:, None, :]            # (n_rows, 1, dim)
+            h = emb[row_head][:, None, :]
             diff = h - t
             d2 = (diff * diff).sum(-1)
             grad_coeff = (-2.0 * a * b * d2 ** (b - 1.0)) / (
@@ -114,14 +122,43 @@ def _optimize_layout_fn():
             grad_coeff = jnp.where(d2 > 0, grad_coeff, 0.0)
             g = jnp.clip(grad_coeff[..., None] * diff, -4.0, 4.0)
             g = jnp.where(due[..., None], g, 0.0)
-            row_g = g.sum(axis=1)                    # (n_rows, dim) wide
-            row_dc = due.sum(axis=1).astype(emb.dtype)
-            agg = jax.ops.segment_sum(
-                jnp.concatenate([row_g, row_dc[:, None]], axis=1),
-                row_head, num_segments=n, indices_are_sorted=True,
+            row_g = g.sum(axis=1)
+            upd = jax.ops.segment_sum(
+                row_g, row_head, num_segments=n, indices_are_sorted=True,
             )
-            upd_h = agg[:, :-1]
-            dc = agg[:, -1]
+            eons_l = jnp.where(due, eons_l + eps_l, eons_l)
+            return upd, eons_l
+
+        def epoch_body(i, carry):
+            emb, eons_bs, key = carry
+            epoch = epoch0 + i
+            alpha = init_alpha * (1.0 - epoch / n_epochs)
+
+            upd_h = jnp.zeros_like(emb)
+            new_eons = []
+            for bi in range(B):
+                stride = strides[bi]
+                eons_l = eons_bs[bi]
+
+                def run(eons_l=eons_l, bi=bi):
+                    return bucket_pass(
+                        emb, eons_l, tails_bs[bi], row_head_bs[bi],
+                        eps_bs[bi], epoch,
+                    )
+
+                def skip(eons_l=eons_l):
+                    return (jnp.zeros_like(emb), eons_l)
+
+                if stride == 1:
+                    u, e_ = run()
+                else:
+                    u, e_ = jax.lax.cond(
+                        jnp.asarray(epoch, jnp.int32) % stride == 0,
+                        run, skip,
+                    )
+                upd_h = upd_h + u
+                new_eons.append(e_)
+            dc = dc_exp
 
             key, sub = jax.random.split(key)
             negs = jax.random.randint(sub, (n, neg_rate), 0, n)
@@ -140,12 +177,13 @@ def _optimize_layout_fn():
             gn = jnp.where(self_hit[..., None], 0.0, gn)
             upd_neg = gn.sum(axis=1) * dc[:, None]
 
-            # symmetric fold: tail update ≡ head update (see _optimize_fn)
+            # symmetric fold: tail update ≡ head update
             emb = emb + alpha * (2.0 * upd_h + upd_neg)
-            eons_l = jnp.where(due, eons_l + eps_l, eons_l)
-            return (emb, eons_l, key)
+            return (emb, tuple(new_eons), key)
 
-        return jax.lax.fori_loop(0, n_run, epoch_body, (emb, eons_l, key))
+        return jax.lax.fori_loop(
+            0, n_run, epoch_body, (emb, eons_bs, key)
+        )
 
     return f
 
@@ -338,49 +376,102 @@ def umap_embed(
     E_eff = max(1, len(heads))
 
     if symmetric:
-        # dense-row edge layout (see _optimize_layout_fn): heads with more
-        # than Dmax edges own several rows so every edge has one (row,
-        # slot) cell. O(E) numpy, built once per graph.
+        # PER-STRIDE dense-row edge layouts (see
+        # _optimize_layout_bucketed_fn): edges bucketed by ⌊log2(eps)⌋ so
+        # rarely-due edges are only gathered on their stride epochs.
         stage_build = stage("umap/edge_layout(host)")
         stage_build.__enter__()
-        Dmax = 64
-        deg = np.bincount(heads, minlength=n).astype(np.int64)
-        rows_per_head = np.maximum(
-            -(-deg // Dmax), (deg > 0).astype(np.int64)
+
+        def _row_layout(hh, tt, ee, Dmax=64):
+            """(heads, tails, eps) → dense (n_rows_pad, Dmax) grid."""
+            deg = np.bincount(hh, minlength=n).astype(np.int64)
+            rows_per_head = np.maximum(
+                -(-deg // Dmax), (deg > 0).astype(np.int64)
+            )
+            row_start = np.concatenate([[0], np.cumsum(rows_per_head)])
+            n_rows = int(row_start[-1])
+            n_rows_pad = max(64, -(-n_rows // 4096) * 4096)
+            row_head = np.full(n_rows_pad, n - 1, np.int32)
+            row_head[:n_rows] = np.repeat(
+                np.arange(n, dtype=np.int32), rows_per_head
+            )
+            edge_start = np.concatenate([[0], np.cumsum(deg)])
+            slot = np.arange(len(hh), dtype=np.int64) - edge_start[hh]
+            dest = row_start[hh] * Dmax + slot
+            tails_l = np.zeros(n_rows_pad * Dmax, np.int32)
+            tails_l[dest] = tt
+            eps_l = np.full(n_rows_pad * Dmax, np.inf, np.float32)
+            eps_l[dest] = ee
+            return (
+                jnp.asarray(tails_l.reshape(n_rows_pad, Dmax)),
+                jnp.asarray(eps_l.reshape(n_rows_pad, Dmax)),
+                jnp.asarray(row_head),
+            )
+
+        # bucket by ⌊log2(eps)⌋; the max stride is capped at ~n_epochs/12
+        # so the schedule jitter a bucket introduces (≤ stride−1 epochs)
+        # stays a small fraction of the run — at 200 epochs the weakest
+        # edges fire ≤15 epochs late, still on their own cadence.
+        # Below ~2M edges the epoch cost is the negative pass + fixed
+        # overhead, and per-bucket grid padding outweighs the gather
+        # savings (measured 7.8s vs 5.2s warm at 4k cells on CPU) — one
+        # stride-1 bucket there reproduces the unbucketed kernel exactly.
+        max_exp = (
+            0
+            if E < 2_000_000
+            else int(
+                np.clip(np.floor(np.log2(max(1.0, n_epochs / 12.0))), 0, 5)
+            )
         )
-        row_start = np.concatenate([[0], np.cumsum(rows_per_head)])
-        n_rows = int(row_start[-1])
-        n_rows_pad = max(64, -(-n_rows // 4096) * 4096)
-        row_head = np.full(n_rows_pad, n - 1, np.int32)
-        row_head[:n_rows] = np.repeat(
-            np.arange(n, dtype=np.int32), rows_per_head
+        finite = np.isfinite(epochs_per_sample)
+        bid = np.zeros(len(heads), np.int64)
+        bid[finite] = np.clip(
+            np.floor(np.log2(np.maximum(epochs_per_sample[finite], 1.0))),
+            0, max_exp,
+        ).astype(np.int64)
+        bid[~finite] = max_exp
+        strides, tails_bs, eps_bs, row_head_bs, eons_bs = [], [], [], [], []
+        for bi in range(max_exp + 1):
+            sel = bid == bi
+            if not sel.any():
+                continue
+            t_l, e_l, r_h = _row_layout(
+                heads[sel], tails[sel], epochs_per_sample[sel]
+            )
+            strides.append(1 << bi)
+            tails_bs.append(t_l)
+            eps_bs.append(e_l)
+            row_head_bs.append(r_h)
+            eons_bs.append(e_l)  # eons starts at eps (first due at t=eps)
+        if not strides:  # degenerate: no edges at all
+            t_l, e_l, r_h = _row_layout(heads[:0], tails[:0],
+                                        epochs_per_sample[:0])
+            strides, tails_bs, eps_bs, row_head_bs, eons_bs = (
+                [1], [t_l], [e_l], [r_h], [e_l]
+            )
+        # expected per-epoch due rate per vertex — the repulsion scale
+        # (see _optimize_layout_bucketed_fn docstring)
+        dc_exp = np.zeros(n, np.float32)
+        np.add.at(
+            dc_exp, heads[finite],
+            (1.0 / epochs_per_sample[finite]).astype(np.float32),
         )
-        edge_start = np.concatenate([[0], np.cumsum(deg)])
-        slot = np.arange(len(heads), dtype=np.int64) - edge_start[heads]
-        dest = row_start[heads] * Dmax + slot
-        tails_l = np.zeros(n_rows_pad * Dmax, np.int32)
-        tails_l[dest] = tails
-        eps_l = np.full(n_rows_pad * Dmax, np.inf, np.float32)
-        eps_l[dest] = epochs_per_sample
-        f = _optimize_layout_fn()
-        state = (
-            jnp.asarray(emb),
-            jnp.asarray(eps_l.reshape(n_rows_pad, Dmax)),
-            key,
+        dc_exp_j = jnp.asarray(dc_exp)
+        f = _optimize_layout_bucketed_fn()
+        state = (jnp.asarray(emb), tuple(eons_bs), key)
+        tails_bs, eps_bs, row_head_bs = (
+            tuple(tails_bs), tuple(eps_bs), tuple(row_head_bs)
         )
-        tails_lj = jnp.asarray(tails_l.reshape(n_rows_pad, Dmax))
-        row_head_j = jnp.asarray(row_head)
-        eps_lj = state[1]
         stage_build.__exit__(None, None, None)
         chunk = max(1, min(25, int(3.0e8 // E_eff)))
         with stage(f"umap/sgd_{n_epochs}epochs"):
             for e0 in range(0, int(n_epochs), chunk):
                 n_run = min(chunk, int(n_epochs) - e0)
                 state = f(
-                    state[0], state[1], tails_lj, row_head_j, eps_lj,
-                    float(e0), int(n_run), int(n_epochs), float(a), float(b),
-                    float(gamma), float(alpha), int(negative_sample_rate),
-                    state[2],
+                    state[0], state[1], tails_bs, row_head_bs, eps_bs,
+                    dc_exp_j, float(e0), int(n_run), int(n_epochs),
+                    float(a), float(b), float(gamma), float(alpha),
+                    int(negative_sample_rate), state[2], tuple(strides),
                 )
         with stage("umap/download"):
             return np.asarray(state[0])
