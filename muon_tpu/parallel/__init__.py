@@ -17,6 +17,7 @@ from .pipeline import (
     sharded_rsvd,
     sharded_lsi,
     sharded_knn,
+    sharded_umap_embed,
 )
 
 __all__ = [
@@ -34,4 +35,5 @@ __all__ = [
     "sharded_rsvd",
     "sharded_lsi",
     "sharded_knn",
+    "sharded_umap_embed",
 ]

@@ -32,6 +32,7 @@ __all__ = [
     "sharded_rsvd",
     "sharded_lsi",
     "sharded_knn",
+    "sharded_umap_embed",
 ]
 
 
@@ -387,3 +388,179 @@ def sharded_knn(Z, mesh, k: int = 20, chunk: int = 1024):
         D.reshape(P * R, k + 1)[:n],
         I.reshape(P * R, k + 1)[:n],
     )
+
+
+@lru_cache(maxsize=None)
+def _umap_epochs_fn(mesh, E_loc, Vb, n, n_epochs, neg_rate, dims, n_run):
+    jax, jnp, shard_map = _jax()
+    Ps = jax.sharding.PartitionSpec
+
+    def body(emb, heads, tails, eons, eps, dc_exp, key, epoch0,
+             a, b, gamma, init_alpha):
+        # shard-local views: (1, E_loc) edges, replicated (n, dims) emb
+        heads, tails = heads[0], tails[0]
+        eons0, eps_l = eons[0], eps[0]
+        pid = jax.lax.axis_index("cells")
+        key = jax.random.fold_in(key, pid)
+
+        def epoch_body(i, carry):
+            emb, eons_l, key = carry
+            epoch = epoch0 + i
+            alpha = init_alpha * (1.0 - epoch / n_epochs)
+            due = eons_l <= (epoch + 1.0)
+
+            h = emb[heads]
+            t = emb[tails]
+            diff = h - t
+            d2 = (diff * diff).sum(-1)
+            gc = (-2.0 * a * b * d2 ** (b - 1.0)) / (a * d2**b + 1.0)
+            gc = jnp.where(d2 > 0, gc, 0.0)
+            g = jnp.clip(gc[:, None] * diff, -4.0, 4.0)
+            g = jnp.where(due[:, None], g, 0.0)
+            # heads are sorted within the shard (global head-sort, then
+            # contiguous edge blocks); the cross-shard reduction is ONE
+            # psum of the (n, dims) partial update
+            upd_h = jax.lax.psum(
+                jax.ops.segment_sum(
+                    g, heads, num_segments=n, indices_are_sorted=True
+                ),
+                "cells",
+            )
+
+            # negatives: this shard owns vertex block [pid·Vb, …); blocks
+            # are exchanged with one all_gather
+            key, sub = jax.random.split(key)
+            v0 = pid * Vb
+            negs = jax.random.randint(sub, (Vb, neg_rate), 0, n)
+            vid = v0 + jnp.arange(Vb)
+            vemb = jax.lax.dynamic_slice_in_dim(emb, v0, Vb, 0)
+            vneg = emb[negs.reshape(-1)].reshape(Vb, neg_rate, -1)
+            diffn = vemb[:, None, :] - vneg
+            d2n = (diffn * diffn).sum(-1)
+            coeff = (2.0 * gamma * b) / ((0.001 + d2n) * (a * d2n**b + 1.0))
+            gn = jnp.where(
+                d2n[..., None] > 0,
+                jnp.clip(coeff[..., None] * diffn, -4.0, 4.0),
+                4.0,
+            )
+            self_hit = negs == vid[:, None]
+            gn = jnp.where(self_hit[..., None], 0.0, gn)
+            dc_blk = jax.lax.dynamic_slice_in_dim(dc_exp, v0, Vb, 0)
+            upd_neg_blk = gn.sum(axis=1) * dc_blk[:, None]
+            upd_neg = jax.lax.all_gather(
+                upd_neg_blk, "cells"
+            ).reshape(-1, emb.shape[1])[:n]
+
+            emb = emb + alpha * (2.0 * upd_h + upd_neg)
+            eons_l = jnp.where(due, eons_l + eps_l, eons_l)
+            return (emb, eons_l, key)
+
+        emb, eons_l, _ = jax.lax.fori_loop(
+            0, n_run, epoch_body, (emb, eons0, key)
+        )
+        return emb, eons_l[None]
+
+    f = shard_map(
+        body, mesh=mesh,
+        in_specs=(
+            Ps(),                    # emb replicated
+            Ps("cells", None),       # heads
+            Ps("cells", None),       # tails
+            Ps("cells", None),       # eons
+            Ps("cells", None),       # eps
+            Ps(),                    # dc_exp replicated
+            Ps(),                    # key
+            Ps(), Ps(), Ps(), Ps(), Ps(),
+        ),
+        out_specs=(Ps(), Ps("cells", None)),
+        check_vma=False,
+    )
+    return jax.jit(f)
+
+
+def sharded_umap_embed(
+    graph,
+    mesh,
+    n_components: int = 2,
+    n_epochs: int = 200,
+    min_dist: float = 0.5,
+    spread: float = 1.0,
+    alpha: float = 1.0,
+    gamma: float = 1.0,
+    negative_sample_rate: int = 5,
+    random_state: int = 42,
+):
+    """Multi-chip UMAP SGD: edges sharded over "cells", embedding
+    replicated; each epoch's attractive reduction is one psum and the
+    per-vertex-block negative updates are exchanged with one all_gather
+    (single-device counterpart ops/umap.umap_embed; reference runs
+    umap-learn's single-threaded numba at muon/_core/tools.py:1341-1357).
+
+    Repulsion uses the expected per-epoch due rate per vertex (see the
+    single-device kernel's docstring); RNG streams are folded per shard,
+    so results are deterministic for a fixed mesh but differ from the
+    single-device draw order — quality, not bitwise equality, is the
+    cross-check."""
+    jax, jnp, _ = _jax()
+    from ..ops.umap import find_ab_params, spectral_init
+
+    n = graph.shape[0]
+    graph = sp.coo_matrix(graph)
+    a, b = find_ab_params(spread, min_dist)
+
+    w = graph.data.astype(np.float64)
+    w[w < w.max() / float(n_epochs)] = 0.0
+    keep = w > 0
+    heads = graph.row[keep].astype(np.int32)
+    tails = graph.col[keep].astype(np.int32)
+    eps = (w[keep].max() / w[keep]).astype(np.float32)
+    order = np.argsort(heads, kind="stable")
+    heads, tails, eps = heads[order], tails[order], eps[order]
+
+    dc_exp = np.zeros(n, np.float32)
+    np.add.at(dc_exp, heads, (1.0 / eps).astype(np.float32))
+
+    P = _cells_dim(mesh)
+    E = len(heads)
+    E_loc = -(-max(E, 1) // (P * 1024)) * 1024
+    E_pad = E_loc * P
+    heads = np.pad(heads, (0, E_pad - E), constant_values=n - 1)
+    tails = np.pad(tails, (0, E_pad - E))
+    eps = np.pad(eps, (0, E_pad - E), constant_values=np.inf)
+    Vb = -(-n // P)
+
+    emb0 = spectral_init(
+        sp.csr_matrix(graph), n_components, seed=random_state
+    )
+    # pad the vertex axis so every shard owns a full block; padded
+    # vertices receive updates but no edges reference them
+    n_vpad = Vb * P
+    emb_pad = np.zeros((n_vpad, n_components), np.float32)
+    emb_pad[:n] = emb0
+    dc_pad = np.zeros(n_vpad, np.float32)
+    dc_pad[:n] = dc_exp
+
+    sh = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("cells", None)
+    )
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    heads_j = jax.device_put(jnp.asarray(heads.reshape(P, E_loc)), sh)
+    tails_j = jax.device_put(jnp.asarray(tails.reshape(P, E_loc)), sh)
+    eps_j = jax.device_put(jnp.asarray(eps.reshape(P, E_loc)), sh)
+    eons_j = eps_j
+    emb_j = jax.device_put(jnp.asarray(emb_pad), rep)
+    dc_j = jax.device_put(jnp.asarray(dc_pad), rep)
+    key = jax.random.PRNGKey(random_state)
+
+    chunk = 25
+    for e0 in range(0, int(n_epochs), chunk):
+        n_run = min(chunk, int(n_epochs) - e0)
+        f = _umap_epochs_fn(
+            mesh, E_loc, Vb, n_vpad, int(n_epochs),
+            int(negative_sample_rate), int(n_components), int(n_run),
+        )
+        emb_j, eons_j = f(
+            emb_j, heads_j, tails_j, eons_j, eps_j, dc_j, key,
+            float(e0), float(a), float(b), float(gamma), float(alpha),
+        )
+    return np.asarray(emb_j)[:n]

@@ -284,3 +284,33 @@ class TestMultichip:
         # sharded ssz training is the same program under a different
         # partitioning — factors match up to reduction-order noise
         np.testing.assert_allclose(res.Z, plain.Z, rtol=1e-2, atol=1e-3)
+
+    def test_sharded_umap(self):
+        """Edge-sharded UMAP SGD (psum'd attractive updates, all_gather'd
+        negative blocks) produces a quality embedding on the virtual mesh
+        and is deterministic for a fixed mesh and seed."""
+        from scipy.spatial.distance import cdist
+
+        from muon_tpu.ops.fuzzy import compute_connectivities_umap
+        from muon_tpu.ops.knn import knn
+        from muon_tpu.parallel import make_mesh, sharded_umap_embed
+
+        rng = np.random.default_rng(1)
+        n, ncl = 1200, 5
+        labels = rng.integers(0, ncl, n)
+        cents = rng.normal(size=(ncl, 12)) * 4
+        X = (cents[labels] + rng.normal(size=(n, 12))).astype(np.float32)
+        idx, d = knn(X, k=15)
+        conn = compute_connectivities_umap(
+            np.asarray(idx), np.asarray(d), n, 15
+        )
+        mesh = make_mesh(8, feat=1)
+        emb = sharded_umap_embed(conn, mesh, n_epochs=100, random_state=0)
+        assert emb.shape == (n, 2) and np.isfinite(emb).all()
+        D = cdist(emb, emb)
+        same = labels[:, None] == labels[None, :]
+        np.fill_diagonal(same, False)
+        ratio = D[same].mean() / D[~same].mean()
+        assert ratio < 0.4, ratio
+        emb2 = sharded_umap_embed(conn, mesh, n_epochs=100, random_state=0)
+        np.testing.assert_allclose(emb, emb2)
