@@ -398,10 +398,12 @@ def multiplex_leiden(
 ):
     """Cluster one shared partition over multiple graph layers.
 
-    Runs up to ``n_iterations`` full descents, feeding the achieved
-    partition back as the next start (leidenalg's ``n_iterations``
-    semantics: with randomized refinement each descent can escape the
-    previous local optimum; stops early when the objective stalls).
+    Runs ``n_iterations`` full descents, feeding the achieved partition
+    back as the next start (leidenalg's ``n_iterations`` semantics: with
+    randomized refinement each descent can escape the previous local
+    optimum). ``n_iterations=-1`` means "until convergence": descents
+    continue until the objective has not improved for 3 consecutive
+    tries (capped at 100).
 
     Returns integer labels (n,) relabeled by decreasing community size
     (matching the common leidenalg output convention)."""
@@ -416,9 +418,12 @@ def multiplex_leiden(
         _Layer(adjacencies[i], float(resolutions[i]), float(layer_weights[i]))
         for i in range(L)
     ]
+    to_convergence = n_iterations is not None and n_iterations < 0
+    iters = 100 if to_convergence else max(1, int(n_iterations or 1))
     best, best_q = None, -np.inf
     labels = np.arange(n)
-    for it in range(max(1, n_iterations)):
+    stall = 0
+    for it in range(iters):
         if it > 0 and it % 3 == 0:
             # periodic fresh restart: a different shuffled greedy descent
             # from singletons explores a different basin than refinement
@@ -429,11 +434,16 @@ def multiplex_leiden(
         # keep the best partition but DON'T stop on a flat iteration:
         # refinement is stochastic, so the next descent explores a
         # different subcommunity structure (leidenalg n_iterations
-        # semantics — a fixed number of full descents)
+        # semantics — a fixed number of full descents; -1 runs until the
+        # objective stalls for 3 consecutive descents)
         if q > best_q:
             best, best_q = labels, q
+            stall = 0
         else:
             labels = best
+            stall += 1
+            if to_convergence and stall >= 3:
+                break
 
     final = best
     # order communities by size, descending

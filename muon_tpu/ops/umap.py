@@ -45,6 +45,31 @@ def find_ab_params(spread: float = 1.0, min_dist: float = 0.5):
     return float(params[0]), float(params[1])
 
 
+def edge_schedule(graph, n_epochs: int):
+    """Shared host-side edge prep for the single-device and sharded
+    optimizers: prune edges umap-learn would never sample, derive
+    ``epochs_per_sample``, sort by head (so per-epoch accumulations are
+    sorted segment-sums), and precompute the expected per-epoch due rate
+    per vertex (the repulsion scale — see
+    ``_optimize_layout_bucketed_fn``).
+
+    Returns (heads, tails, epochs_per_sample, weights, dc_exp)."""
+    n = graph.shape[0]
+    graph = sp.coo_matrix(graph)
+    w = graph.data.astype(np.float64)
+    w[w < w.max() / float(n_epochs)] = 0.0
+    keep = w > 0
+    heads = graph.row[keep].astype(np.int32)
+    tails = graph.col[keep].astype(np.int32)
+    w = w[keep]
+    eps = (w.max() / w).astype(np.float32)
+    order = np.argsort(heads, kind="stable")
+    heads, tails, eps, w = heads[order], tails[order], eps[order], w[order]
+    dc_exp = np.zeros(n, np.float32)
+    np.add.at(dc_exp, heads, (1.0 / eps).astype(np.float32))
+    return heads, tails, eps, w, dc_exp
+
+
 def spectral_init(graph: sp.csr_matrix, n_components: int, seed: int = 0):
     """Spectral layout from the normalized graph adjacency, computed with
     the device randomized SVD over DeviceCOO (TPU-native replacement for
@@ -316,14 +341,11 @@ def umap_embed(
     if n_epochs is None:
         n_epochs = 500 if n <= 10000 else 200
 
-    # umap-learn edge pruning: drop edges that'd never be sampled
-    w = graph.data.astype(np.float64)
-    w[w < w.max() / float(n_epochs)] = 0.0
-    keep = w > 0
-    heads = graph.row[keep].astype(np.int32)
-    tails = graph.col[keep].astype(np.int32)
-    w = w[keep]
-    epochs_per_sample = (w.max() / w).astype(np.float32)
+    # umap-learn edge pruning + head-sort + expected due rate (shared
+    # with the sharded optimizer, parallel/pipeline.sharded_umap_embed)
+    heads, tails, epochs_per_sample, w, dc_exp_np = edge_schedule(
+        graph, n_epochs
+    )
 
     # symmetric edge list (fuzzy simplicial sets are; pruning preserves
     # it) → the optimizer can fold the tail pass into the head pass
@@ -332,13 +354,6 @@ def umap_embed(
     )
     diffG = Gk - Gk.T
     symmetric = bool(np.abs(diffG.data).max(initial=0.0) < 1e-12)
-
-    # pre-sort edges by head once: the per-epoch attractive accumulation
-    # becomes a direct sorted segment-sum with no permutation gather
-    order = np.argsort(heads, kind="stable")
-    heads = heads[order]
-    tails = tails[order]
-    epochs_per_sample = epochs_per_sample[order]
 
     # pad the edge axis to a coarse bucket (1/16 granularity) so the epoch
     # kernel compiles once per size class instead of once per dataset —
@@ -451,12 +466,7 @@ def umap_embed(
             )
         # expected per-epoch due rate per vertex — the repulsion scale
         # (see _optimize_layout_bucketed_fn docstring)
-        dc_exp = np.zeros(n, np.float32)
-        np.add.at(
-            dc_exp, heads[finite],
-            (1.0 / epochs_per_sample[finite]).astype(np.float32),
-        )
-        dc_exp_j = jnp.asarray(dc_exp)
+        dc_exp_j = jnp.asarray(dc_exp_np)
         f = _optimize_layout_bucketed_fn()
         state = (jnp.asarray(emb), tuple(eons_bs), key)
         tails_bs, eps_bs, row_head_bs = (

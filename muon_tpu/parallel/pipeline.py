@@ -391,7 +391,8 @@ def sharded_knn(Z, mesh, k: int = 20, chunk: int = 1024):
 
 
 @lru_cache(maxsize=None)
-def _umap_epochs_fn(mesh, E_loc, Vb, n, n_epochs, neg_rate, dims, n_run):
+def _umap_epochs_fn(mesh, E_loc, Vb, n, n_true, n_epochs, neg_rate, dims,
+                    n_run):
     jax, jnp, shard_map = _jax()
     Ps = jax.sharding.PartitionSpec
 
@@ -428,10 +429,12 @@ def _umap_epochs_fn(mesh, E_loc, Vb, n, n_epochs, neg_rate, dims, n_run):
             )
 
             # negatives: this shard owns vertex block [pid·Vb, …); blocks
-            # are exchanged with one all_gather
+            # are exchanged with one all_gather. Draws come from the TRUE
+            # vertex range — padded phantom vertices sit frozen at the
+            # origin and must not act as repulsors.
             key, sub = jax.random.split(key)
             v0 = pid * Vb
-            negs = jax.random.randint(sub, (Vb, neg_rate), 0, n)
+            negs = jax.random.randint(sub, (Vb, neg_rate), 0, n_true)
             vid = v0 + jnp.arange(Vb)
             vemb = jax.lax.dynamic_slice_in_dim(emb, v0, Vb, 0)
             vneg = emb[negs.reshape(-1)].reshape(Vb, neg_rate, -1)
@@ -502,23 +505,14 @@ def sharded_umap_embed(
     single-device draw order — quality, not bitwise equality, is the
     cross-check."""
     jax, jnp, _ = _jax()
-    from ..ops.umap import find_ab_params, spectral_init
+    from ..ops.umap import edge_schedule, find_ab_params, spectral_init
 
     n = graph.shape[0]
     graph = sp.coo_matrix(graph)
     a, b = find_ab_params(spread, min_dist)
 
-    w = graph.data.astype(np.float64)
-    w[w < w.max() / float(n_epochs)] = 0.0
-    keep = w > 0
-    heads = graph.row[keep].astype(np.int32)
-    tails = graph.col[keep].astype(np.int32)
-    eps = (w[keep].max() / w[keep]).astype(np.float32)
-    order = np.argsort(heads, kind="stable")
-    heads, tails, eps = heads[order], tails[order], eps[order]
-
-    dc_exp = np.zeros(n, np.float32)
-    np.add.at(dc_exp, heads, (1.0 / eps).astype(np.float32))
+    # pruning/eps/head-sort/due-rate shared with the single-device path
+    heads, tails, eps, _w, dc_exp = edge_schedule(graph, n_epochs)
 
     P = _cells_dim(mesh)
     E = len(heads)
@@ -552,15 +546,20 @@ def sharded_umap_embed(
     dc_j = jax.device_put(jnp.asarray(dc_pad), rep)
     key = jax.random.PRNGKey(random_state)
 
-    chunk = 25
+    # chunk the epochs: one multi-minute XLA program can trip the TPU
+    # worker watchdog (measured crash at 25 epochs × 40M edges — see
+    # ops/umap.umap_embed); a fresh key is folded per chunk so negative
+    # draws never repeat across chunks
+    chunk = max(1, min(25, int(3.0e8 // max(1, E_pad))))
     for e0 in range(0, int(n_epochs), chunk):
         n_run = min(chunk, int(n_epochs) - e0)
         f = _umap_epochs_fn(
-            mesh, E_loc, Vb, n_vpad, int(n_epochs),
+            mesh, E_loc, Vb, n_vpad, n, int(n_epochs),
             int(negative_sample_rate), int(n_components), int(n_run),
         )
         emb_j, eons_j = f(
-            emb_j, heads_j, tails_j, eons_j, eps_j, dc_j, key,
+            emb_j, heads_j, tails_j, eons_j, eps_j, dc_j,
+            jax.random.fold_in(key, e0),
             float(e0), float(a), float(b), float(gamma), float(alpha),
         )
     return np.asarray(emb_j)[:n]
