@@ -319,6 +319,34 @@ def _theta_fn():
     return f
 
 
+def _fusion_block_math(jnp, q, cc, aux_q, aux_c, sw_b, ok, dims, metric):
+    """Score one row block of candidates against the concatenated rep
+    table — shared by the single-device kernel below and the sharded
+    scorer (parallel/pipeline.sharded_wnn_scores) so the fusion math
+    cannot drift between them.
+
+        score[cell, c] = Σ_m  w_m[cell] · exp(−dist_m(cell, cand)/σ_m[cell])
+    """
+    block, C = ok.shape
+    M = len(dims)
+    total = jnp.zeros((block, C), jnp.float32)
+    for m, (lo, hi) in enumerate(dims):
+        cross = jnp.einsum(
+            "bd,bcd->bc", q[:, lo:hi], cc[:, :, lo:hi],
+            preferred_element_type=jnp.float32,
+        )
+        if metric == "cosine":
+            dist = 1.0 - cross
+        else:
+            d2 = aux_q[:, m : m + 1] + aux_c[:, :, m] - 2.0 * cross
+            dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+        pres = aux_c[:, :, M + m] * aux_q[:, M + m : M + m + 1]
+        sig = jnp.maximum(sw_b[:, m : m + 1], 1e-12)
+        contrib = jnp.exp(-dist / sig) * sw_b[:, M + m : M + m + 1]
+        total = total + jnp.where(ok, contrib * pres, 0.0)
+    return total
+
+
 @lru_cache(maxsize=None)
 def _fusion_all_fn():
     jax, jnp = _jax()
@@ -359,21 +387,9 @@ def _fusion_all_fn():
             aux_q = jax.lax.dynamic_slice_in_dim(aux, i * block, block, 0)
             sw_b = jax.lax.dynamic_slice_in_dim(sigw, i * block, block, 0)
 
-            total = jnp.zeros((block, C), jnp.float32)
-            for m, (lo, hi) in enumerate(dims):
-                cross = jnp.einsum(
-                    "bd,bcd->bc", q[:, lo:hi], cc[:, :, lo:hi],
-                    preferred_element_type=jnp.float32,
-                )
-                if metric == "cosine":
-                    dist = 1.0 - cross
-                else:
-                    d2 = aux_q[:, m : m + 1] + aux_c[:, :, m] - 2.0 * cross
-                    dist = jnp.sqrt(jnp.maximum(d2, 0.0))
-                pres = aux_c[:, :, M + m] * aux_q[:, M + m : M + m + 1]
-                sig = jnp.maximum(sw_b[:, m : m + 1], 1e-12)
-                contrib = jnp.exp(-dist / sig) * sw_b[:, M + m : M + m + 1]
-                total = total + jnp.where(ok, contrib * pres, 0.0)
+            total = _fusion_block_math(
+                jnp, q, cc, aux_q, aux_c, sw_b, ok, dims, metric
+            )
             return _, total
 
         _, acc = jax.lax.scan(body, None, jnp.arange(nb))

@@ -18,6 +18,7 @@ from .pipeline import (
     sharded_lsi,
     sharded_knn,
     sharded_umap_embed,
+    sharded_wnn_scores,
 )
 
 __all__ = [
@@ -36,4 +37,5 @@ __all__ = [
     "sharded_lsi",
     "sharded_knn",
     "sharded_umap_embed",
+    "sharded_wnn_scores",
 ]

@@ -33,6 +33,7 @@ __all__ = [
     "sharded_lsi",
     "sharded_knn",
     "sharded_umap_embed",
+    "sharded_wnn_scores",
 ]
 
 
@@ -563,3 +564,112 @@ def sharded_umap_embed(
             float(e0), float(a), float(b), float(gamma), float(alpha),
         )
     return np.asarray(emb_j)[:n]
+
+
+@lru_cache(maxsize=None)
+def _wnn_score_fn(mesh, R, C, dims, metric, k, block):
+    jax, jnp, shard_map = _jax()
+    Ps = jax.sharding.PartitionSpec
+    from ..ops.wnn import _fusion_block_math
+
+    def body(cl, cat16, aux, sigw, q16, aux_q, sw_q):
+        # shard-local: (1, R, C) candidates + (1, R, ·) query-side rows;
+        # the rep/aux tables stay replicated (k·ΣD-sized, small next to
+        # the sharded candidate matrix)
+        cl = cl[0]
+        q16, aux_q, sw_q = q16[0], aux_q[0], sw_q[0]
+        nb = R // block
+
+        def one(_, i):
+            sl = lambda A: jax.lax.dynamic_slice_in_dim(  # noqa: E731
+                A, i * block, block, 0
+            )
+            cl_b = sl(cl)
+            ok = cl_b >= 0
+            cl_s = jnp.where(ok, cl_b, 0)
+            total = _fusion_block_math(
+                jnp, sl(q16), cat16[cl_s], sl(aux_q), aux[cl_s],
+                sl(sw_q), ok, dims, metric,
+            )
+            dist = jnp.sqrt(0.5 * (1.0 - total))
+            dist = jnp.where(ok, dist, jnp.inf)
+            vals, pos = jax.lax.top_k(-dist, k)
+            idx = jnp.take_along_axis(cl_b, pos, axis=1)
+            return _, (idx, -vals)
+
+        _, (idx, dist) = jax.lax.scan(one, None, jnp.arange(nb))
+        return idx.reshape(R, k)[None], dist.reshape(R, k)[None]
+
+    f = shard_map(
+        body, mesh=mesh,
+        in_specs=(
+            Ps("cells", None, None),   # candidates
+            Ps(), Ps(), Ps(),          # cat16/aux/sigw tables replicated
+            Ps("cells", None, None),   # query rows of cat16
+            Ps("cells", None, None),   # query rows of aux
+            Ps("cells", None, None),   # query rows of sigw
+        ),
+        out_specs=(Ps("cells", None, None), Ps("cells", None, None)),
+        check_vma=False,
+    )
+    return jax.jit(f)
+
+
+def sharded_wnn_scores(
+    cand, cat16, aux, sigw, dims, mesh, metric: str = "euclidean",
+    k: int = 20, block: int = 512,
+):
+    """Cells-sharded WNN candidate scoring + per-row top-k: the candidate
+    matrix is row-sharded over "cells" while the concatenated bf16 rep
+    table is replicated — scoring is embarrassingly parallel (zero
+    collectives after the broadcast). Single-device counterpart:
+    ops/wnn._fusion_all_fn + _final_topk_fn (same block math, shared via
+    ops/wnn._fusion_block_math; reference fusion loop
+    muon/_core/preproc.py:571-601).
+
+    cand (n, C) int32 global candidate ids (pad −1); cat16 (n, ΣD) bf16;
+    aux/sigw (n, 2M) f32 as in the single-device kernel.
+    Returns (idx (n, k), dist (n, k)) host arrays."""
+    jax, jnp, _ = _jax()
+
+    cand = np.asarray(cand)
+    n, C = cand.shape
+    P = _cells_dim(mesh)
+    block = max(8, min(block, n))
+    R = -(-n // (P * block)) * block
+    n_pad = R * P
+
+    def pad_rows(A, fill):
+        A = np.asarray(A)
+        out = np.full((n_pad,) + A.shape[1:], fill, A.dtype)
+        out[:n] = A
+        return out
+
+    sh3 = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("cells", None, None)
+    )
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    cl = jax.device_put(
+        jnp.asarray(pad_rows(cand, -1).reshape(P, R, C)), sh3
+    )
+    q16 = jax.device_put(
+        jnp.asarray(pad_rows(cat16, 0).reshape(P, R, -1)), sh3
+    )
+    aux_q = jax.device_put(
+        jnp.asarray(pad_rows(aux, 0).reshape(P, R, -1)), sh3
+    )
+    sw_q = jax.device_put(
+        jnp.asarray(pad_rows(sigw, 0).reshape(P, R, -1)), sh3
+    )
+    cat_r = jax.device_put(jnp.asarray(np.asarray(cat16)), rep)
+    aux_r = jax.device_put(jnp.asarray(np.asarray(aux)), rep)
+    sigw_r = jax.device_put(jnp.asarray(np.asarray(sigw)), rep)
+
+    f = _wnn_score_fn(
+        mesh, R, C, tuple(dims), str(metric), int(k), int(block)
+    )
+    idx, dist = f(cl, cat_r, aux_r, sigw_r, q16, aux_q, sw_q)
+    return (
+        np.asarray(idx).reshape(n_pad, k)[:n],
+        np.asarray(dist).reshape(n_pad, k)[:n],
+    )

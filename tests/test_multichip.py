@@ -314,3 +314,47 @@ class TestMultichip:
         assert ratio < 0.4, ratio
         emb2 = sharded_umap_embed(conn, mesh, n_epochs=100, random_state=0)
         np.testing.assert_allclose(emb, emb2)
+
+    def test_sharded_wnn_scores_match_single_device(self):
+        """Cells-sharded WNN candidate scoring + top-k returns the same
+        neighbors/distances as the single-device fusion kernel (the block
+        math is shared code, so this checks the sharding plumbing)."""
+        import jax.numpy as jnp
+        import ml_dtypes
+
+        from muon_tpu.ops.wnn import _final_topk_fn, _fusion_all_fn
+        from muon_tpu.parallel import make_mesh, sharded_wnn_scores
+
+        rng = np.random.default_rng(0)
+        n, C, k = 520, 40, 10
+        M = 2
+        dims = ((0, 12), (12, 20))
+        cat = rng.normal(size=(n, 20)).astype(np.float32)
+        cat16 = cat.astype(ml_dtypes.bfloat16)
+        aux = np.zeros((n, 2 * M), np.float32)
+        for m, (lo, hi) in enumerate(dims):
+            aux[:, m] = (cat[:, lo:hi] ** 2).sum(1)
+            aux[:, M + m] = 1.0
+        sigw = np.abs(rng.normal(size=(n, 2 * M))).astype(np.float32) + 0.5
+        cand = rng.integers(0, n, size=(n, C)).astype(np.int32)
+        cand[rng.random((n, C)) < 0.1] = -1  # ragged padding
+
+        mesh = make_mesh(8, feat=1)
+        idx_s, dist_s = sharded_wnn_scores(
+            cand, cat16, aux, sigw, dims, mesh, k=k, block=64,
+        )
+
+        scores = _fusion_all_fn()(
+            jnp.asarray(cand), jnp.asarray(cat16), jnp.asarray(aux),
+            jnp.asarray(sigw), 520, dims, "euclidean",
+        )
+        idx_r, dist_r = _final_topk_fn()(scores, jnp.asarray(cand), k)
+        idx_r, dist_r = np.asarray(idx_r), np.asarray(dist_r)
+
+        np.testing.assert_allclose(dist_s, dist_r, rtol=1e-5, atol=1e-6)
+        # ids match wherever distances are not tied
+        ties = np.abs(np.diff(dist_r, axis=1)) < 1e-7
+        stable = np.ones_like(idx_r, bool)
+        stable[:, 1:] &= ~ties
+        stable[:, :-1] &= ~ties
+        assert (idx_s[stable] == idx_r[stable]).mean() > 0.999
