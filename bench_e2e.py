@@ -261,7 +261,19 @@ def main():
             n = X_csr.shape[0]
             var = c2 / n - (cs / n) ** 2
             sel = np.argsort(-var)[:dn]
-            return np.asarray(X_csr[:, sel].todense(), np.float32)
+            # one linear pass with a column LUT: scipy's X[:, sel] scans
+            # and re-sorts all 250M nnz (measured 26s at 1M cells); only
+            # ~1.3% of entries land in the selected columns
+            lut = np.zeros(X_csr.shape[1], np.int32)
+            lut[sel] = np.arange(1, dn + 1, dtype=np.int32)
+            pos = lut[X_csr.indices]
+            keep = pos > 0
+            rows = np.repeat(
+                np.arange(n, dtype=np.int32), np.diff(X_csr.indptr)
+            )
+            out = np.zeros((n, dn), np.float32)
+            out[rows[keep], pos[keep] - 1] = X_csr.data[keep]
+            return out
 
         Y_rna = topvar_dense(rna.X)
         Y_atac = topvar_dense(atac.X)
