@@ -240,7 +240,7 @@ def _cluster(
             [1.0],
             seed=random_state or 0,
             refine=(algorithm == "leiden"),
-            n_iterations=int(kwargs.get("n_iterations", 2)),
+            n_iterations=kwargs.get("n_iterations"),
         )
         mdata.obs[key_added] = pd.Categorical(
             labels.astype(str),
@@ -300,7 +300,7 @@ def _cluster(
     labels = multiplex_leiden(
         expanded, resolutions, weights, seed=random_state or 0,
         refine=(algorithm == "leiden"),
-        n_iterations=int(kwargs.get("n_iterations", 2)),
+        n_iterations=kwargs.get("n_iterations"),
     )
     mdata.obs[key_added] = pd.Categorical(
         labels.astype(str), categories=[str(i) for i in sorted(set(labels))]

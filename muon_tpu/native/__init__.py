@@ -111,4 +111,19 @@ def load_leiden_lib() -> ctypes.CDLL:
         c.c_int32,                     # randomized (refinement mode)
         c.c_double,                    # theta_frac
     ]
+    lib.csr_aggregate.restype = c.c_void_p
+    lib.csr_aggregate.argtypes = [
+        c.c_int64, c.c_int64,
+        c.POINTER(c.c_int64), c.POINTER(c.c_int32), c.POINTER(c.c_double),
+        c.POINTER(c.c_int64),
+    ]
+    lib.agg_nnz.restype = c.c_int64
+    lib.agg_nnz.argtypes = [c.c_void_p]
+    lib.agg_indptr.restype = c.POINTER(c.c_int64)
+    lib.agg_indptr.argtypes = [c.c_void_p]
+    lib.agg_indices.restype = c.POINTER(c.c_int32)
+    lib.agg_indices.argtypes = [c.c_void_p]
+    lib.agg_data.restype = c.POINTER(c.c_double)
+    lib.agg_data.argtypes = [c.c_void_p]
+    lib.agg_free.argtypes = [c.c_void_p]
     return lib

@@ -27,7 +27,81 @@
 #include <random>
 #include <vector>
 
+namespace {
+
+struct AggResult {
+  std::vector<int64_t> indptr;
+  std::vector<int32_t> indices;
+  std::vector<double> data;
+};
+
+}  // namespace
+
 extern "C" {
+
+// Aggregate a CSR graph onto a partition: out[labels[i], labels[j]] +=
+// A[i, j]. One counting-sort pass buckets the relabeled triplets by
+// output row, then a slot map dedups each row — O(nnz), no sort. This
+// replaces the scipy coo->csr constructor in the Leiden level loop,
+// whose sort+dedup was ~half the wall time at 1M cells x 3 modality
+// graphs. Returns an opaque handle; read the arrays out then free it.
+void* csr_aggregate(
+    int64_t n, int64_t n_comm,
+    const int64_t* indptr, const int32_t* indices, const double* data,
+    const int64_t* labels) {
+  const int64_t nnz = indptr[n];
+  // per-out-row entry counts
+  std::vector<int64_t> cursor(n_comm + 1, 0);
+  for (int64_t i = 0; i < n; i++)
+    cursor[labels[i] + 1] += indptr[i + 1] - indptr[i];
+  for (int64_t c = 0; c < n_comm; c++) cursor[c + 1] += cursor[c];
+  std::vector<int64_t> bstart(cursor);  // bucket starts (copy)
+
+  // scatter relabeled (col, val) into row buckets
+  std::vector<int32_t> bcol(nnz);
+  std::vector<double> bval(nnz);
+  for (int64_t i = 0; i < n; i++) {
+    int64_t& pos = cursor[labels[i]];
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; p++) {
+      bcol[pos] = (int32_t)labels[indices[p]];
+      bval[pos] = data[p];
+      pos++;
+    }
+  }
+
+  // per-row dedup with a slot map
+  auto* out = new AggResult();
+  out->indptr.resize(n_comm + 1);
+  out->indices.reserve(std::min<int64_t>(nnz, n_comm * 64));
+  out->data.reserve(std::min<int64_t>(nnz, n_comm * 64));
+  std::vector<int64_t> slot(n_comm, -1);
+  out->indptr[0] = 0;
+  for (int64_t c = 0; c < n_comm; c++) {
+    const int64_t row_base = (int64_t)out->indices.size();
+    for (int64_t p = bstart[c]; p < (c + 1 <= n_comm ? bstart[c + 1] : nnz);
+         p++) {
+      const int32_t cc = bcol[p];
+      int64_t s = slot[cc];
+      if (s < 0) {
+        s = (int64_t)out->indices.size();
+        slot[cc] = s;
+        out->indices.push_back(cc);
+        out->data.push_back(0.0);
+      }
+      out->data[s] += bval[p];
+    }
+    for (int64_t q = row_base; q < (int64_t)out->indices.size(); q++)
+      slot[out->indices[q]] = -1;
+    out->indptr[c + 1] = (int64_t)out->indices.size();
+  }
+  return out;
+}
+
+int64_t agg_nnz(void* h) { return ((AggResult*)h)->indptr.back(); }
+const int64_t* agg_indptr(void* h) { return ((AggResult*)h)->indptr.data(); }
+const int32_t* agg_indices(void* h) { return ((AggResult*)h)->indices.data(); }
+const double* agg_data(void* h) { return ((AggResult*)h)->data.data(); }
+void agg_free(void* h) { delete (AggResult*)h; }
 
 // Returns 1 if any node moved, 0 otherwise. labels is updated in place.
 //

@@ -304,18 +304,61 @@ def _refine(layers, labels, rng):
     return refined
 
 
+def _aggregate_native(L, labels, n_comm):
+    """One-pass C++ counting-sort aggregation (no sort, no dedup-sort):
+    ~half the Leiden wall time at 1M cells went into the scipy coo→csr
+    constructor this replaces."""
+    from ..native import load_leiden_lib
+    import ctypes as C
+
+    lib = load_leiden_lib()
+    n = len(labels)
+    indptr = np.ascontiguousarray(L.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(L.indices, dtype=np.int32)
+    data = np.ascontiguousarray(L.data, dtype=np.float64)
+    labels64 = np.ascontiguousarray(labels, dtype=np.int64)
+    p = lambda a, t: a.ctypes.data_as(C.POINTER(t))  # noqa: E731
+    h = lib.csr_aggregate(
+        n, int(n_comm),
+        p(indptr, C.c_int64), p(indices, C.c_int32), p(data, C.c_double),
+        p(labels64, C.c_int64),
+    )
+    try:
+        nnz = lib.agg_nnz(h)
+        out_indptr = np.ctypeslib.as_array(
+            lib.agg_indptr(h), shape=(int(n_comm) + 1,)
+        ).copy()
+        if nnz:
+            out_indices = np.ctypeslib.as_array(
+                lib.agg_indices(h), shape=(nnz,)
+            ).copy()
+            out_data = np.ctypeslib.as_array(
+                lib.agg_data(h), shape=(nnz,)
+            ).copy()
+        else:
+            out_indices = np.empty(0, np.int32)
+            out_data = np.empty(0, np.float64)
+    finally:
+        lib.agg_free(h)
+    return sp.csr_matrix(
+        (out_data, out_indices, out_indptr), shape=(n_comm, n_comm)
+    )
+
+
 def _aggregate(layers, labels):
-    """Collapse each layer onto the partition's supernodes: relabel the
-    COO endpoints and let the CSR constructor sum duplicates (cheaper
-    than the equivalent P.T·A·P SpGEMM at kNN-graph densities)."""
-    n_comm = labels.max() + 1
+    """Collapse each layer onto the partition's supernodes (native
+    counting-sort engine, scipy COO-relabel fallback)."""
+    n_comm = int(labels.max()) + 1
     new_layers = []
     for L in layers:
-        rows = np.repeat(np.arange(len(labels)), np.diff(L.indptr))
-        A2 = sp.csr_matrix(
-            (L.data, (labels[rows], labels[L.indices])),
-            shape=(n_comm, n_comm),
-        )
+        try:
+            A2 = _aggregate_native(L, labels, n_comm)
+        except (RuntimeError, OSError):
+            rows = np.repeat(np.arange(len(labels)), np.diff(L.indptr))
+            A2 = sp.csr_matrix(
+                (L.data, (labels[rows], labels[L.indices])),
+                shape=(n_comm, n_comm),
+            )
         # aggregating a symmetric layer preserves symmetry — skip the
         # (A+Aᵀ)/2 pass, which at kNN-graph sizes costs more than the
         # relabel itself
@@ -394,7 +437,7 @@ def multiplex_leiden(
     seed: int = 0,
     refine: bool = True,
     max_levels: int = 10,
-    n_iterations: int = 2,
+    n_iterations=None,
 ):
     """Cluster one shared partition over multiple graph layers.
 
@@ -403,7 +446,10 @@ def multiplex_leiden(
     randomized refinement each descent can escape the previous local
     optimum). ``n_iterations=-1`` means "until convergence": descents
     continue until the objective has not improved for 3 consecutive
-    tries (capped at 100).
+    tries (capped at 100). ``None`` (default) picks 2 descents up to
+    200k nodes and 1 above: on large kNN graphs with clear structure a
+    second descent measurably never improves Q but costs a full extra
+    pass over the (tens of millions of) edges.
 
     Returns integer labels (n,) relabeled by decreasing community size
     (matching the common leidenalg output convention)."""
@@ -418,8 +464,10 @@ def multiplex_leiden(
         _Layer(adjacencies[i], float(resolutions[i]), float(layer_weights[i]))
         for i in range(L)
     ]
-    to_convergence = n_iterations is not None and n_iterations < 0
-    iters = 100 if to_convergence else max(1, int(n_iterations or 1))
+    if n_iterations is None:
+        n_iterations = 2 if n <= 200_000 else 1
+    to_convergence = n_iterations < 0
+    iters = 100 if to_convergence else max(1, int(n_iterations))
     best, best_q = None, -np.inf
     labels = np.arange(n)
     stall = 0
