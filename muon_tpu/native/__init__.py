@@ -117,6 +117,12 @@ def load_leiden_lib() -> ctypes.CDLL:
         c.POINTER(c.c_int64), c.POINTER(c.c_int32), c.POINTER(c.c_double),
         c.POINTER(c.c_int64),
     ]
+    lib.csr_symmetrize.restype = c.c_void_p
+    lib.csr_symmetrize.argtypes = [
+        c.c_int64,
+        c.POINTER(c.c_int64), c.POINTER(c.c_int32), c.POINTER(c.c_double),
+        c.c_int32,
+    ]
     lib.agg_nnz.restype = c.c_int64
     lib.agg_nnz.argtypes = [c.c_void_p]
     lib.agg_indptr.restype = c.POINTER(c.c_int64)

@@ -97,6 +97,68 @@ void* csr_aggregate(
   return out;
 }
 
+// Build the symmetrized, diagonal-free layer matrix (A+Aᵀ)/2 in one
+// counting-sort pass (the scipy (A+Aᵀ)/2 → setdiag → eliminate_zeros
+// chain costs 3 sort/copy passes). Same handle protocol as
+// csr_aggregate.
+void* csr_symmetrize(
+    int64_t n,
+    const int64_t* indptr, const int32_t* indices, const double* data,
+    int32_t drop_diag) {
+  // out-degree per row counting both directions
+  std::vector<int64_t> cursor(n + 1, 0);
+  for (int64_t i = 0; i < n; i++) {
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; p++) {
+      const int64_t j = indices[p];
+      if (drop_diag && j == i) continue;
+      cursor[i + 1]++;
+      cursor[j + 1]++;
+    }
+  }
+  for (int64_t r = 0; r < n; r++) cursor[r + 1] += cursor[r];
+  std::vector<int64_t> bstart(cursor);
+  const int64_t total = cursor[n];
+
+  std::vector<int32_t> bcol(total);
+  std::vector<double> bval(total);
+  for (int64_t i = 0; i < n; i++) {
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; p++) {
+      const int64_t j = indices[p];
+      if (drop_diag && j == i) continue;
+      const double v = 0.5 * data[p];
+      bcol[cursor[i]] = (int32_t)j;
+      bval[cursor[i]++] = v;
+      bcol[cursor[j]] = (int32_t)i;
+      bval[cursor[j]++] = v;
+    }
+  }
+
+  auto* out = new AggResult();
+  out->indptr.resize(n + 1);
+  out->indices.reserve(total);
+  out->data.reserve(total);
+  std::vector<int64_t> slot(n, -1);
+  out->indptr[0] = 0;
+  for (int64_t r = 0; r < n; r++) {
+    const int64_t row_base = (int64_t)out->indices.size();
+    for (int64_t p = bstart[r]; p < bstart[r + 1]; p++) {
+      const int32_t cc = bcol[p];
+      int64_t s = slot[cc];
+      if (s < 0) {
+        s = (int64_t)out->indices.size();
+        slot[cc] = s;
+        out->indices.push_back(cc);
+        out->data.push_back(0.0);
+      }
+      out->data[s] += bval[p];
+    }
+    for (int64_t q = row_base; q < (int64_t)out->indices.size(); q++)
+      slot[out->indices[q]] = -1;
+    out->indptr[r + 1] = (int64_t)out->indices.size();
+  }
+  return out;
+}
+
 int64_t agg_nnz(void* h) { return ((AggResult*)h)->indptr.back(); }
 const int64_t* agg_indptr(void* h) { return ((AggResult*)h)->indptr.data(); }
 const int32_t* agg_indices(void* h) { return ((AggResult*)h)->indices.data(); }

@@ -60,40 +60,43 @@ class _Layer:
         if A.dtype != np.float64:
             A = A.astype(np.float64)
         if not assume_symmetric or drop_selfloops:
-            # one-pass COO build: symmetrize by mirroring the triplets and
-            # drop the diagonal BEFORE construction — the scipy chain
-            # (A+Aᵀ)/2 → setdiag(0) → eliminate_zeros costs 3 full
-            # sort/copy passes (~6s/layer at 4M nnz, measured) vs one here
-            n = A.shape[0]
-            rows = np.repeat(
-                np.arange(n, dtype=np.int64), np.diff(A.indptr)
-            )
-            cols = A.indices.astype(np.int64, copy=False)
-            if drop_selfloops:
-                # only for INPUT graphs (kNN connectivities carry no
-                # diagonal anyway). Aggregated levels must keep
-                # self-loops: they hold the intra-community weight, and
-                # dropping them from deg/two_m would change the objective
-                # away from RB modularity of the original graph (ADVICE
-                # r1 #2). The local-move scans skip j == i, so a kept
-                # diagonal never contaminates the k_{i->comm} gathers.
-                keep = rows != cols
-                rows, cols, data = rows[keep], cols[keep], A.data[keep]
-            else:
-                data = A.data
-            if not assume_symmetric:
-                A = sp.csr_matrix(
-                    (
-                        np.concatenate([data, data]) * 0.5,
-                        (
-                            np.concatenate([rows, cols]),
-                            np.concatenate([cols, rows]),
-                        ),
-                    ),
-                    shape=A.shape,
+            # symmetrize (A+Aᵀ)/2 and drop the diagonal in ONE
+            # counting-sort pass (native engine; scipy COO fallback). The
+            # scipy (A+Aᵀ)/2 → setdiag(0) → eliminate_zeros chain costs 3
+            # full sort/copy passes (~6s/layer at 4M nnz, measured).
+            # Diagonal dropping applies only to INPUT graphs (kNN
+            # connectivities carry no diagonal anyway); aggregated levels
+            # must keep self-loops — they hold the intra-community
+            # weight, and dropping them from deg/two_m would change the
+            # objective away from RB modularity of the original graph
+            # (ADVICE r1 #2). The local-move scans skip j == i, so a kept
+            # diagonal never contaminates the k_{i->comm} gathers.
+            try:
+                A = _symmetrize_native(A, drop_selfloops, assume_symmetric)
+            except (RuntimeError, OSError):
+                n = A.shape[0]
+                rows = np.repeat(
+                    np.arange(n, dtype=np.int64), np.diff(A.indptr)
                 )
-            else:
-                A = sp.csr_matrix((data, (rows, cols)), shape=A.shape)
+                cols = A.indices.astype(np.int64, copy=False)
+                if drop_selfloops:
+                    keep = rows != cols
+                    rows, cols, data = rows[keep], cols[keep], A.data[keep]
+                else:
+                    data = A.data
+                if not assume_symmetric:
+                    A = sp.csr_matrix(
+                        (
+                            np.concatenate([data, data]) * 0.5,
+                            (
+                                np.concatenate([rows, cols]),
+                                np.concatenate([cols, rows]),
+                            ),
+                        ),
+                        shape=A.shape,
+                    )
+                else:
+                    A = sp.csr_matrix((data, (rows, cols)), shape=A.shape)
         self.indptr = A.indptr
         self.indices = A.indices
         self.data = A.data
@@ -304,6 +307,48 @@ def _refine(layers, labels, rng):
     return refined
 
 
+def _read_agg_handle(lib, h, n_rows, shape):
+    """Copy a native AggResult handle out into a scipy CSR and free it."""
+    try:
+        nnz = lib.agg_nnz(h)
+        out_indptr = np.ctypeslib.as_array(
+            lib.agg_indptr(h), shape=(int(n_rows) + 1,)
+        ).copy()
+        if nnz:
+            out_indices = np.ctypeslib.as_array(
+                lib.agg_indices(h), shape=(nnz,)
+            ).copy()
+            out_data = np.ctypeslib.as_array(
+                lib.agg_data(h), shape=(nnz,)
+            ).copy()
+        else:
+            out_indices = np.empty(0, np.int32)
+            out_data = np.empty(0, np.float64)
+    finally:
+        lib.agg_free(h)
+    return sp.csr_matrix((out_data, out_indices, out_indptr), shape=shape)
+
+
+def _symmetrize_native(A, drop_selfloops, assume_symmetric):
+    """(A+Aᵀ)/2 with optional diagonal drop, one C++ counting-sort pass.
+    Mirroring an already-symmetric matrix reproduces it exactly, so the
+    same kernel covers every flag combination."""
+    from ..native import load_leiden_lib
+    import ctypes as C
+
+    lib = load_leiden_lib()
+    n = A.shape[0]
+    indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(A.indices, dtype=np.int32)
+    data = np.ascontiguousarray(A.data, dtype=np.float64)
+    p = lambda a, t: a.ctypes.data_as(C.POINTER(t))  # noqa: E731
+    h = lib.csr_symmetrize(
+        n, p(indptr, C.c_int64), p(indices, C.c_int32),
+        p(data, C.c_double), int(bool(drop_selfloops)),
+    )
+    return _read_agg_handle(lib, h, n, A.shape)
+
+
 def _aggregate_native(L, labels, n_comm):
     """One-pass C++ counting-sort aggregation (no sort, no dedup-sort):
     ~half the Leiden wall time at 1M cells went into the scipy coo→csr
@@ -323,26 +368,7 @@ def _aggregate_native(L, labels, n_comm):
         p(indptr, C.c_int64), p(indices, C.c_int32), p(data, C.c_double),
         p(labels64, C.c_int64),
     )
-    try:
-        nnz = lib.agg_nnz(h)
-        out_indptr = np.ctypeslib.as_array(
-            lib.agg_indptr(h), shape=(int(n_comm) + 1,)
-        ).copy()
-        if nnz:
-            out_indices = np.ctypeslib.as_array(
-                lib.agg_indices(h), shape=(nnz,)
-            ).copy()
-            out_data = np.ctypeslib.as_array(
-                lib.agg_data(h), shape=(nnz,)
-            ).copy()
-        else:
-            out_indices = np.empty(0, np.int32)
-            out_data = np.empty(0, np.float64)
-    finally:
-        lib.agg_free(h)
-    return sp.csr_matrix(
-        (out_data, out_indices, out_indptr), shape=(n_comm, n_comm)
-    )
+    return _read_agg_handle(lib, h, n_comm, (n_comm, n_comm))
 
 
 def _aggregate(layers, labels):
