@@ -1179,6 +1179,66 @@ def _make_svi_step(
     return step
 
 
+@lru_cache(maxsize=None)
+def _r2_stats_fn():
+    """Per-(group, factor) R² statistics for one view, in one scanned
+    device pass (finalization of fit_mofa; replaces per-factor np.outer
+    host loops). Returns per-group:
+      ssY_g  (G,)   = Σ (Y·B)²
+      t1_gk  (G,K)  = Σ_n z_nk ((Y·B) W)_nk
+      t2_gk  (G,K)  = Σ_n z²_nk (B W²)_nk
+      ssf_g  (G,)   = Σ (Y·B − (ZWᵀ)·B)²
+    so ss_res(g,k) = ssY − 2·t1 + t2 (single-factor) and the full-model
+    residual comes from ssf."""
+    jax, jnp = _jax()
+
+    @partial(jax.jit, static_argnames=("block", "has_mask"))
+    def f(Ym, Bm, Z, W, G, block, has_mask):
+        N, D = Ym.shape
+        nb = -(-N // block)
+        Np = nb * block
+
+        def pad(A):
+            return jnp.pad(A, ((0, Np - N),) + ((0, 0),) * (A.ndim - 1))
+
+        Ymp, Zp, Gp = pad(Ym), pad(Z), pad(G)
+        Bmp = pad(Bm) if has_mask else None
+        W2 = W * W
+        w2sum = W2.sum(axis=0)
+        K = Z.shape[1]
+        Gn = G.shape[1]
+
+        def body(carry, i):
+            ssY_g, t1, t2, ssf = carry
+            sl = lambda A: jax.lax.dynamic_slice_in_dim(  # noqa: E731
+                A, i * block, block, 0
+            )
+            Yb, Zb, Gb = sl(Ymp), sl(Zp), sl(Gp)
+            G1 = Yb @ W  # (b, K)
+            if has_mask:
+                Bb = sl(Bmp)
+                G2 = Bb @ W2
+            else:
+                G2 = jnp.broadcast_to(w2sum, G1.shape)
+            t1 = t1 + Gb.T @ (Zb * G1)
+            t2 = t2 + Gb.T @ (Zb * Zb * G2)
+            ssY_g = ssY_g + Gb.T @ (Yb * Yb).sum(axis=1)
+            P = Zb @ W.T
+            if has_mask:
+                P = P * Bb
+            ssf = ssf + Gb.T @ ((Yb - P) ** 2).sum(axis=1)
+            return (ssY_g, t1, t2, ssf), None
+
+        init = (
+            jnp.zeros(Gn), jnp.zeros((Gn, K)),
+            jnp.zeros((Gn, K)), jnp.zeros(Gn),
+        )
+        (ssY_g, t1, t2, ssf), _ = jax.lax.scan(body, init, jnp.arange(nb))
+        return ssY_g, t1, t2, ssf
+
+    return f
+
+
 def _init_state(
     Ys, masks, groups_onehot, config: MOFAConfig, liks=None, keep_data=False
 ):
@@ -1244,7 +1304,10 @@ def _init_state(
         D = Y.shape[1]
         B = masks[m]
         nongauss = liks[m] in ("bernoulli", "poisson")
-        Yj = jnp.asarray(np.nan_to_num(Y, nan=0.0), jnp.float32)
+        # NaN→0 on DEVICE: the host nan_to_num copy costs a fresh 1GB
+        # allocation per view at 1M×256 (first-touch-expensive on
+        # balloon-backed guests) before the upload even starts
+        Yj = jnp.nan_to_num(jnp.asarray(Y, jnp.float32), nan=0.0)
         if nongauss:
             # bound-based views always carry an explicit 0/1 mask + raw data
             M01 = (
@@ -1275,20 +1338,26 @@ def _init_state(
                     jnp.ones((D,), jnp.float32)
                 )
         else:
+            # per-column variance over observed entries, computed ON DEVICE
+            # from the already-uploaded (NaN-zeroed, masked) view — the two
+            # np.nanvar host passes this replaces each allocated several GB
+            # of fresh temporaries per 1M×256 view
+            Bj = jnp.asarray(B, jnp.float32) if B is not None else None
+            Ym = Yj if Bj is None else Yj * Bj
+            cnt = float(N) if Bj is None else jnp.maximum(Bj.sum(axis=0), 1.0)
+            mean_d = Ym.sum(axis=0) / cnt
+            var_d = (Ym * Ym).sum(axis=0) / cnt - mean_d * mean_d
+            var = np.asarray(var_d, dtype=np.float64)
+            var[~np.isfinite(var) | (var <= 0)] = 1.0
             if keep_data:  # SVI recomputes batch residuals from raw data
-                M01 = (
-                    jnp.asarray(B, jnp.float32) if B is not None else None
-                )
-                state["M01"].append(M01)
-                state["Y0"].append(Yj if M01 is None else Yj * M01)
+                state["M01"].append(Bj)
+                state["Y0"].append(Ym)
                 # natural parameters of q(τ): blended by the SVI step
                 n_obs_d = (
-                    float(N) if M01 is None else np.asarray(M01.sum(axis=0))
+                    float(N) if Bj is None else np.asarray(Bj.sum(axis=0))
                 )
-                var0 = np.nanvar(Y, axis=0)
-                var0[~np.isfinite(var0) | (var0 == 0)] = 1.0
                 ta = A0 + 0.5 * n_obs_d * np.ones(D)
-                tb = ta * var0
+                tb = ta * var
                 state.setdefault("tau_a", []).append(
                     jnp.asarray(ta, jnp.float32)
                 )
@@ -1298,26 +1367,18 @@ def _init_state(
             else:
                 state["M01"].append(None)
                 state["Y0"].append(None)
-            state["mask"].append(
-                jnp.asarray(B, jnp.float32) if B is not None else None
-            )
+            state["mask"].append(Bj)
             if config.spikeslab_factors:
                 # double spike-slab (W and Z) stalls from a zero-W start;
                 # break the symmetry like mofapy2's always-random W init
                 W0g = 0.1 * jax.random.normal(
                     wkeys[m], (D, K), dtype=jnp.float32
                 )
-                E0 = Yj - Zm @ W0g.T
-                state["E"].append(
-                    E0 if B is None else E0 * jnp.asarray(B, jnp.float32)
-                )
+                E0 = Ym - Zm @ W0g.T
+                state["E"].append(E0 if Bj is None else E0 * Bj)
             else:
                 # W starts at zero → E starts as (masked) Y
-                state["E"].append(
-                    Yj if B is None else Yj * jnp.asarray(B, jnp.float32)
-                )
-            var = np.nanvar(Y, axis=0)
-            var[~np.isfinite(var) | (var == 0)] = 1.0
+                state["E"].append(Ym)
             state["tau"].append(jnp.asarray(1.0 / var, jnp.float32))
             state["ln_tau"].append(jnp.asarray(-np.log(var), jnp.float32))
         if nongauss:
@@ -1757,20 +1818,45 @@ def fit_mofa(
     Zm = np.asarray(state["Z_mean"])
     SWs = [np.asarray(sw) for sw in state["SW"]]
 
+    # R²/variance-explained statistics for ALL (group, view, factor)
+    # combinations in one scanned device pass per view (_r2_stats_fn).
+    # The host loops this replaces materialized a fresh 1M×256 np.outer
+    # per (factor, view) — ~200GB of single-core host traffic at 1M cells
+    # (measured: the dominant term of the 385s mofa stage, round 3).
+    r2_stats = []
+    onehot_j = jnp.asarray(onehot, jnp.float32)
+    for m in range(M):
+        Ym_dev = state["Y0"][m]
+        Bm_dev = state["mask"][m]
+        if Ym_dev is None:
+            Yj = jnp.nan_to_num(jnp.asarray(Ys[m], jnp.float32), nan=0.0)
+            Ym_dev = Yj if Bm_dev is None else Yj * Bm_dev
+        blk = max(1024, min(65536, N))
+        ssY_g, t1, t2, ssf = _r2_stats_fn()(
+            Ym_dev,
+            Bm_dev if Bm_dev is not None else Ym_dev,  # dummy when unused
+            state["Z_mean"], state["SW"][m], onehot_j,
+            blk, Bm_dev is not None,
+        )
+        r2_stats.append(
+            (
+                np.asarray(ssY_g, np.float64),
+                np.asarray(t1, np.float64),
+                np.asarray(t2, np.float64),
+                np.asarray(ssf, np.float64),
+            )
+        )
+
     # sort factors by total variance explained, descending (mofapy2 orders
     # factors this way before saving, which the reference's active/inactive
     # factor assertions rely on — tests/test_muon_tools.py:42-44)
-    Ysc = [np.nan_to_num(Y, nan=0.0) for Y in Ys]
-    ss_tot = sum((Y**2).sum() for Y in Ysc)
-    r2k = np.zeros(config.n_factors)
-    for k in range(config.n_factors):
-        res_k = 0.0
-        for m, Y in enumerate(Ysc):
-            pred = np.outer(Zm[:, k], SWs[m][:, k])
-            if masks[m] is not None:
-                pred = pred * masks[m]
-            res_k += ((Y - pred) ** 2).sum()
-        r2k[k] = 1.0 - res_k / max(ss_tot, 1e-30)
+    ss_tot = sum(st[0].sum() for st in r2_stats)
+    # ss_res(m, k) = ΣY² − 2·Σ z_k (Y·B) w_k + Σ z_k² (B w_k²)
+    res_k = sum(
+        st[0].sum() - 2.0 * st[1].sum(axis=0) + st[2].sum(axis=0)
+        for st in r2_stats
+    )
+    r2k = 1.0 - res_k / max(ss_tot, 1e-30)
     order = np.argsort(-r2k)
     Zm = Zm[:, order]
     SWs = [sw[:, order] for sw in SWs]
@@ -1803,28 +1889,18 @@ def fit_mofa(
     )
 
     # variance explained per factor (MOFA convention: 1 − SS_res(k)/SS_tot,
-    # per view × group)
+    # per view × group) — same device statistics, reordered along k
     r2pf = {}
     r2tot = {}
     for g in range(G):
-        rows = groups == g
         r2 = np.zeros((M, config.n_factors))
         r2t = np.zeros(M)
-        for m, Y in enumerate(Ys):
-            Yg = np.nan_to_num(Y[rows], nan=0.0)
-            Bm = None if masks[m] is None else masks[m][rows]
-            if Bm is not None:
-                Yg = Yg * Bm
-            ss_tot = (Yg**2).sum()
-            pred_full = Zm[rows] @ SWs[m].T
-            if Bm is not None:
-                pred_full = pred_full * Bm
-            r2t[m] = max(0.0, 1.0 - ((Yg - pred_full) ** 2).sum() / max(ss_tot, 1e-30))
-            for k in range(config.n_factors):
-                pred = np.outer(Zm[rows, k], SWs[m][:, k])
-                if Bm is not None:
-                    pred = pred * Bm
-                r2[m, k] = 1.0 - ((Yg - pred) ** 2).sum() / max(ss_tot, 1e-30)
+        for m in range(M):
+            ssY_g, t1, t2, ssf = r2_stats[m]
+            st = max(float(ssY_g[g]), 1e-30)
+            res_gk = ssY_g[g] - 2.0 * t1[g] + t2[g]  # (K,) pre-order
+            r2[m] = 1.0 - res_gk[order] / st
+            r2t[m] = max(0.0, 1.0 - float(ssf[g]) / st)
         r2pf[g] = np.maximum(r2, 0.0)
         r2tot[g] = r2t
     result.r2_per_factor = r2pf

@@ -123,6 +123,11 @@ def load_leiden_lib() -> ctypes.CDLL:
         c.POINTER(c.c_int64), c.POINTER(c.c_int32), c.POINTER(c.c_double),
         c.c_int32,
     ]
+    lib.knn_fuzzy_union.restype = c.c_void_p
+    lib.knn_fuzzy_union.argtypes = [
+        c.c_int64, c.c_int64,
+        c.POINTER(c.c_int32), c.POINTER(c.c_float), c.c_double,
+    ]
     lib.agg_nnz.restype = c.c_int64
     lib.agg_nnz.argtypes = [c.c_void_p]
     lib.agg_indptr.restype = c.POINTER(c.c_int64)

@@ -131,6 +131,32 @@ def membership_strengths(knn_indices, knn_dists, sigmas, rhos):
     return rows[keep], cols[keep], v[keep]
 
 
+def _fuzzy_union_native(idx, vals, n_obs, set_op_mix_ratio):
+    """One C++ counting-sort pass over the dense kNN membership table —
+    the scipy transpose/multiply/add chain it replaces measured 25s per
+    call at 1M×20 on one core (4 calls per multiome pipeline)."""
+    import ctypes as C
+
+    from ..native import load_leiden_lib
+
+    lib = load_leiden_lib()
+    idx = np.ascontiguousarray(idx, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    n, k = idx.shape
+    h = lib.knn_fuzzy_union(
+        n, k,
+        idx.ctypes.data_as(C.POINTER(C.c_int32)),
+        vals.ctypes.data_as(C.POINTER(C.c_float)),
+        float(set_op_mix_ratio),
+    )
+    from .leiden import _read_agg_handle
+
+    conn = _read_agg_handle(lib, h, n, (n_obs, n_obs))
+    conn.data = conn.data.astype(np.float32)
+    conn.sort_indices()  # slot-merge emits row-insertion order
+    return conn
+
+
 def compute_connectivities_umap(
     knn_indices,
     knn_dists,
@@ -144,6 +170,14 @@ def compute_connectivities_umap(
     jax, jnp = _jax()
     knn_dists = jnp.asarray(np.asarray(knn_dists), dtype=jnp.float32)
     sigmas, rhos = _smooth_knn_fn()(knn_dists, float(local_connectivity), 1.0)
+    idx = np.asarray(knn_indices)
+    if idx.shape[0] == n_obs:
+        # dense per-row membership table → native one-pass fuzzy union
+        vals = np.asarray(_membership_fn()(knn_dists, sigmas, rhos))
+        try:
+            return _fuzzy_union_native(idx, vals, n_obs, set_op_mix_ratio)
+        except Exception:
+            pass  # fall through to the scipy path
     rows, cols, vals = membership_strengths(knn_indices, knn_dists, sigmas, rhos)
     W = sp.coo_matrix((vals, (rows, cols)), shape=(n_obs, n_obs)).tocsr()
     Wt = W.T.tocsr()

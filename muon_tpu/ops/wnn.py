@@ -273,31 +273,41 @@ def _theta_fn():
     jax, jnp = _jax()
 
     @partial(jax.jit, static_argnames=("block",))
-    def f(rep_full, rows1, NI2, nnd1, sigma1, block=32768):
+    def f(rep_full, rows1, rows2, NI2_full, conv, nnd_full, sigma_full,
+          block=32768):
         """θ affinity (reference muon/_core/preproc.py:480-503):
-        r = mean of the FULL mod1 rep over mod2-neighbors (NI2 holds
-        mod1-local indices into rep_full; query rows are rep_full[rows1]);
+        r = mean of the FULL mod1 rep over mod2-neighbors;
         θ = exp(−max(‖x−r‖−nnd,0)/(σ−nnd)).
+
+        The mod2-local → mod1-local neighbor remap happens HERE (gathering
+        ``conv[NI2_full[rows2]]``) so the only per-(mod1,mod2) uploads are
+        the small row/conv index vectors — rep_full / NI2_full / nnd / σ
+        stay device-resident across all modality pairs (the previous
+        per-pair re-uploads of the 1M×d rep and 1M×kk neighbor matrix
+        were ~240MB per call through a ~40MB/s tunnel).
 
         Chunked over cells: the (m, kk, d) neighbor gather is ~11GB at
         1M cells in one piece (measured OOM); a lax.scan over row blocks
         bounds it at (block, kk, d)."""
-        m, kk = NI2.shape
+        m = rows1.shape[0]
+        kk = NI2_full.shape[1]
         nb = max(1, -(-m // block))
         m_pad = nb * block
-        NI2p = jnp.pad(NI2, ((0, m_pad - m), (0, 0)), constant_values=-1)
         rows1p = jnp.pad(rows1, (0, m_pad - m))
-        nndp = jnp.pad(nnd1, (0, m_pad - m))
-        sigp = jnp.pad(sigma1, (0, m_pad - m), constant_values=2.0)
+        rows2p = jnp.pad(rows2, (0, m_pad - m))
 
         def body(_, args):
-            NI2b, rows1b, nndb, sigb = args
+            rows1b, rows2b = args
+            NI2b = NI2_full[rows2b]              # (block, kk) mod2-local
             valid = NI2b >= 0
-            NI2s = jnp.where(valid, NI2b, 0)
-            gathered = rep_full[NI2s]  # (block, kk, d)
+            mapped = conv[jnp.where(valid, NI2b, 0)]   # mod1-local or -1
+            valid = valid & (mapped >= 0)
+            gathered = rep_full[jnp.where(valid, mapped, 0)]  # (b, kk, d)
             w = valid[..., None].astype(rep_full.dtype)
             r = (gathered * w).sum(1) / jnp.maximum(w.sum(1), 1.0)
             q = rep_full[rows1b]
+            nndb = nnd_full[rows1b]
+            sigb = sigma_full[rows1b]
             dist = jnp.sqrt(jnp.maximum(((q - r) ** 2).sum(-1), 0.0))
             th = jnp.exp(
                 -jnp.maximum(dist - nndb, 0.0)
@@ -308,10 +318,8 @@ def _theta_fn():
         _, th = jax.lax.scan(
             body, None,
             (
-                NI2p.reshape(nb, block, kk),
                 rows1p.reshape(nb, block),
-                nndp.reshape(nb, block),
-                sigp.reshape(nb, block),
+                rows2p.reshape(nb, block),
             ),
         )
         return th.reshape(m_pad)[:m]
@@ -551,25 +559,40 @@ def wnn_neighbors(
     from ..utils.profiling import stage
 
     # -- bandwidths σ and affinity ratios θ -----------------------------------
+    # reps and fixed-width neighbor matrices live on DEVICE for the whole
+    # bandwidth/theta/candidate phase: at 1M cells each rep is ~160MB and
+    # the per-pair re-uploads through the ~40MB/s tunnel used to dominate
+    # the stage (325s of the warm 546s WNN at 1M, measured round 3)
     NIs, nnds, sigmas = {}, {}, {}
+    rep_dev, NI_dev, nnd_dev, sig_dev = {}, {}, {}, {}
+
+    def _load_mod(mod):
+        if mod in NI_dev:
+            return
+        dm = mdata.mod[mod].obsp[
+            neighbors_params[mod]["distances_key"]
+        ].tocsr()
+        NI, nnd = _neighbor_index_matrix(dm)
+        NIs[mod], nnds[mod] = NI, nnd
+        NI_dev[mod] = jnp.asarray(NI)
+        nnd_dev[mod] = jnp.asarray(nnd)
+        rep_dev[mod] = jnp.asarray(reps[mod], dtype=jnp.float32)
+
     ratios = np.full((n_global, n_mods), -np.inf, dtype=np.float64)
     for i1, mod1 in enumerate(modalities):
       with stage(f"wnn/bandwidth+theta[{mod1}]"):
-        dmat = mdata.mod[mod1].obsp[neighbors_params[mod1]["distances_key"]].tocsr()
-        NI, nnd = _neighbor_index_matrix(dmat)
-        NIs[mod1], nnds[mod1] = NI, nnd
+        _load_mod(mod1)
+        NI = NIs[mod1]
         rep = reps[mod1]
         bbox = float(np.linalg.norm(np.ptp(rep, axis=0), ord=2))
         n_loc = rep.shape[0]
         block = max(32, min(1024, (1 << 26) // max(1, NI.shape[1] ** 2 * 4)))
         block = min(block, n_loc)
-        sig = np.asarray(
-            _bandwidth_fn()(
-                jnp.asarray(NI), jnp.asarray(rep), float(n_loc), bbox,
-                min(n_bandwidth_neighbors, max(NI.shape[1], 1)), block,
-            )
+        sig_dev[mod1] = _bandwidth_fn()(
+            NI_dev[mod1], rep_dev[mod1], float(n_loc), bbox,
+            min(n_bandwidth_neighbors, max(NI.shape[1], 1)), block,
         )
-        sigmas[mod1] = sig
+        sigmas[mod1] = np.asarray(sig_dev[mod1])
 
         # thetas/currtheta are indexed by mod1-LOCAL row (explicit rows1
         # scatter, not prefix slicing) so partially-overlapping or permuted
@@ -582,26 +605,18 @@ def wnn_neighbors(
             both = present[mod1] & present[mod2]
             rows1 = g2l[mod1][both]          # mod1-local indices
             rows2 = g2l[mod2][both]          # mod2-local indices
-            NI2 = NIs.get(mod2)
-            if NI2 is None:
-                dm2 = mdata.mod[mod2].obsp[
-                    neighbors_params[mod2]["distances_key"]
-                ].tocsr()
-                NI2, nnd2 = _neighbor_index_matrix(dm2)
-                NIs[mod2], nnds[mod2] = NI2, nnd2
-            # mod2 neighbor indices (mod2-local) → mod1-local
-            NI2_sel = NI2[rows2]  # (m, kk2) mod2-local
-            conv = np.full(mdata.mod[mod2].n_obs, -1, dtype=np.int32)
-            m2_glob = l2g[mod2]
-            conv[:] = g2l[mod1][m2_glob]
-            NI2_m1 = np.where(NI2_sel >= 0, conv[np.where(NI2_sel >= 0, NI2_sel, 0)], -1)
+            _load_mod(mod2)
+            # mod2-local → mod1-local neighbor remap, applied on device
+            conv = g2l[mod1][l2g[mod2]].astype(np.int32)
             th = np.asarray(
                 _theta_fn()(
-                    jnp.asarray(rep),
+                    rep_dev[mod1],
                     jnp.asarray(rows1.astype(np.int32)),
-                    jnp.asarray(NI2_m1.astype(np.int32)),
-                    jnp.asarray(nnd[rows1]),
-                    jnp.asarray(sig[rows1]),
+                    jnp.asarray(rows2.astype(np.int32)),
+                    NI_dev[mod2],
+                    jnp.asarray(conv),
+                    nnd_dev[mod1],
+                    sig_dev[mod1],
                 )
             )
             if i1 == i2:
@@ -635,13 +650,16 @@ def wnn_neighbors(
     cand_j = jnp.full((n_dpad, n_mods * m_per), -1, dtype=jnp.int32)
     for i, mod in enumerate(modalities):
       with stage(f"wnn/candidates[{mod}]"):
-        rep = reps[mod]
+        n_loc_m = reps[mod].shape[0]
         cmetric = neighbors_params[mod]["params"].get("metric", "euclidean")
-        k_cand = min(m_per, rep.shape[0] - 1)
+        k_cand = min(m_per, n_loc_m - 1)
         # candidate pool is 10x oversampled vs the final k: bf16 cross
-        # terms are plenty accurate for pool SELECTION and 4x faster
-        idx, _ = knn(rep, k_cand, metric=cmetric,
-                     approx=rep.shape[0] > 20000, device_out=True)
+        # terms are plenty accurate for pool SELECTION and 4x faster.
+        # rep_dev reuses the device copy from the bandwidth phase (no
+        # re-upload).
+        idx, _ = knn(rep_dev.pop(mod, reps[mod]), k_cand, metric=cmetric,
+                     approx=n_loc_m > 20000, device_out=True)
+        NI_dev.pop(mod, None)  # HBM headroom for the (n, 200) pool
         idx = idx[:, 1:]  # drop self (device array)
         l2g_j = jnp.asarray(l2g[mod].astype(np.int32))
         glob = jnp.where(idx >= 0, l2g_j[jnp.where(idx >= 0, idx, 0)], -1)

@@ -65,6 +65,39 @@ class TestSingleNeighbors:
         assert abs(C - C.T).max() < 1e-6
         assert C.max() <= 1.0 + 1e-6
 
+    def test_fuzzy_union_native_matches_scipy(self):
+        """The native one-pass knn_fuzzy_union must reproduce the scipy
+        W + Wᵀ − W∘Wᵀ reference construction exactly (incl. ragged −1
+        padding, self edges, and mix ratios)."""
+        from scipy import sparse as sp
+
+        from muon_tpu.ops import fuzzy
+
+        rng = np.random.default_rng(7)
+        n, k = 300, 9
+        # unique neighbor ids per row (kNN contract — duplicates within a
+        # row never occur in real top-k output)
+        idx = np.argsort(rng.random((n, n)), axis=1)[:, :k].astype(np.int32)
+        idx[:, 0] = np.arange(n)  # self in col 0
+        idx[rng.random((n, k)) < 0.1] = -1  # ragged padding
+        vals = rng.random((n, k)).astype(np.float32)
+        for mix in (1.0, 0.6):
+            native = fuzzy._fuzzy_union_native(idx, vals, n, mix)
+            # scipy reference (the fallback path's construction)
+            rows = np.repeat(np.arange(n), k)
+            cols = idx.reshape(-1)
+            v = vals.reshape(-1).copy()
+            v[cols == rows] = 0.0
+            keep = cols >= 0
+            W = sp.coo_matrix(
+                (v[keep], (rows[keep], cols[keep])), shape=(n, n)
+            ).tocsr()
+            Wt = W.T.tocsr()
+            prod = W.multiply(Wt)
+            ref = mix * (W + Wt - prod) + (1.0 - mix) * prod
+            ref.eliminate_zeros()
+            assert abs(native - ref).max() < 1e-6, mix
+
 
 class TestWNN:
     def _make_mdata(self, informative=(True, True), seed=0, n_per=40):
