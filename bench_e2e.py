@@ -220,7 +220,11 @@ def _warm_env():
     pays them once per boot, not per operation."""
     import jax
 
-    gb = int(os.environ.get("MUON_TPU_PREFAULT_GB", "14"))
+    gb = int(
+        os.environ.get(
+            "MUON_TPU_PREFAULT_GB", str(max(2, min(14, N // 70_000)))
+        )
+    )
     blocks = []
     for _ in range(gb):
         b = np.empty(1 << 28, np.float32)  # 1 GB
@@ -283,26 +287,39 @@ def main():
     # MOFA inputs: most-variable 256 features per count modality, captured
     # BEFORE the big matrices are dropped
     with timed("hvg.select"):
+        import jax
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("dn", "n"))
+        def _sel_cols(data, row, col, lut, dn, n):
+            # scatter-add into a (n, dn+1) grid; column 0 collects the
+            # unselected/padded entries and is dropped. add (not set) so
+            # zero-data pad slots can never clobber real values.
+            pos = lut[col]
+            # int32 flat index: n·(dn+1) = 257M at 1M cells, < 2³¹
+            dest = row * (dn + 1) + pos
+            out = jnp.zeros(n * (dn + 1), jnp.float32)
+            out = out.at[dest].add(data.astype(jnp.float32))
+            return out.reshape(n, dn + 1)[:, 1:]
+
         def topvar_dense(X_csr, dn=256):
+            # column variance from device col sums, then a DEVICE LUT
+            # scatter (the host LUT pass allocated ~3GB of fresh
+            # temporaries per modality at 250M nnz)
             Xd = dsp.from_scipy(X_csr)
             cs = np.asarray(dsp.col_sums(Xd))
             c2 = np.asarray(dsp.col_sums(Xd._replace(data=Xd.data**2)))
             n = X_csr.shape[0]
             var = c2 / n - (cs / n) ** 2
             sel = np.argsort(-var)[:dn]
-            # one linear pass with a column LUT: scipy's X[:, sel] scans
-            # and re-sorts all 250M nnz (measured 26s at 1M cells); only
-            # ~1.3% of entries land in the selected columns
             lut = np.zeros(X_csr.shape[1], np.int32)
             lut[sel] = np.arange(1, dn + 1, dtype=np.int32)
-            pos = lut[X_csr.indices]
-            keep = pos > 0
-            rows = np.repeat(
-                np.arange(n, dtype=np.int32), np.diff(X_csr.indptr)
+            # result stays DEVICE-RESIDENT: fit_mofa accepts jax arrays,
+            # so the (1M, 256) views never round-trip through the host
+            return _sel_cols(
+                Xd.data, Xd.row, Xd.col, jnp.asarray(lut), dn, n
             )
-            out = np.zeros((n, dn), np.float32)
-            out[rows[keep], pos[keep] - 1] = X_csr.data[keep]
-            return out
 
         Y_rna = topvar_dense(rna.X)
         Y_atac = topvar_dense(atac.X)

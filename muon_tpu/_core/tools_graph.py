@@ -395,6 +395,9 @@ def umap(
         n_components=n_components,
         n_epochs=maxiter,
         init=init_pos if init_pos is not None else "spectral",
+        # connectivities from ops/fuzzy are symmetric by construction —
+        # skip the O(nnz·log) probe (umap_embed re-checks nothing else)
+        assume_symmetric=True,
         min_dist=min_dist,
         spread=spread,
         alpha=alpha,

@@ -1473,8 +1473,17 @@ def fit_mofa(
     if masks is None:
         masks = []
         for Y in Ys:
-            if np.isnan(Y).any():
+            if isinstance(Y, np.ndarray) and np.isnan(Y).any():
                 masks.append((~np.isnan(Y)).astype(np.float32))
+            elif not isinstance(Y, np.ndarray):
+                # device-resident view (jax array): NaN scan on device,
+                # mask materialized only if NaNs actually exist
+                import jax.numpy as jnp
+
+                if bool(jnp.isnan(Y).any()):
+                    masks.append(jnp.where(jnp.isnan(Y), 0.0, 1.0))
+                else:
+                    masks.append(None)
             else:
                 masks.append(None)
 

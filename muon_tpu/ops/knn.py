@@ -149,7 +149,9 @@ def knn(
     (ops/ivf.py) whose candidate pruning removes the n² score traffic.
     method: "auto" | "brute" | "ivf" overrides the choice."""
     jax, jnp = _jax()
-    X = jnp.asarray(X, dtype=jnp.float32)
+    from .device import dense_to_device
+
+    X = dense_to_device(X, dtype=jnp.float32)
     n, d = X.shape
     k = min(k, n - 1)
     if method == "ivf" or (

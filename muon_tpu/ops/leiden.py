@@ -485,11 +485,16 @@ def multiplex_leiden(
         resolutions = [1.0] * L
     if layer_weights is None:
         layer_weights = [1.0] * L
+    from ..utils.profiling import stage
+
     rng = np.random.default_rng(seed)
-    layers0 = [
-        _Layer(adjacencies[i], float(resolutions[i]), float(layer_weights[i]))
-        for i in range(L)
-    ]
+    with stage("leiden/layer_prep"):
+        layers0 = [
+            _Layer(
+                adjacencies[i], float(resolutions[i]), float(layer_weights[i])
+            )
+            for i in range(L)
+        ]
     if n_iterations is None:
         n_iterations = 2 if n <= 200_000 else 1
     to_convergence = n_iterations < 0
@@ -503,8 +508,10 @@ def multiplex_leiden(
             # from singletons explores a different basin than refinement
             # of the incumbent can reach
             labels = np.arange(n)
-        labels = _leiden_once(layers0, rng, labels, refine, max_levels)
-        q = _quality(layers0, labels)
+        with stage(f"leiden/descent{it}"):
+            labels = _leiden_once(layers0, rng, labels, refine, max_levels)
+        with stage(f"leiden/quality{it}"):
+            q = _quality(layers0, labels)
         # keep the best partition but DON'T stop on a flat iteration:
         # refinement is stochastic, so the next descent explores a
         # different subcommunity structure (leidenalg n_iterations

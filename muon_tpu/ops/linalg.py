@@ -399,7 +399,9 @@ def pca(
         # per-op loop with jnp.linalg.qr serializes tall-skinny QR on TPU
         # and pays tunnel dispatch latency per op — measured 104s for
         # 1M×120 protein PCA, vs seconds jitted)
-        X = jnp.asarray(X, dtype=jnp.float32)
+        from .device import dense_to_device
+
+        X = dense_to_device(X, dtype=jnp.float32)
         n, d = X.shape
         k = min(n_comps, min(n, d) - 1 if center else min(n, d))
         l = min(k + 10, min(n, d))

@@ -576,7 +576,9 @@ def wnn_neighbors(
         NIs[mod], nnds[mod] = NI, nnd
         NI_dev[mod] = jnp.asarray(NI)
         nnd_dev[mod] = jnp.asarray(nnd)
-        rep_dev[mod] = jnp.asarray(reps[mod], dtype=jnp.float32)
+        from .device import dense_to_device
+
+        rep_dev[mod] = dense_to_device(reps[mod], dtype=jnp.float32)
 
     ratios = np.full((n_global, n_mods), -np.inf, dtype=np.float64)
     for i1, mod1 in enumerate(modalities):
@@ -660,6 +662,9 @@ def wnn_neighbors(
         idx, _ = knn(rep_dev.pop(mod, reps[mod]), k_cand, metric=cmetric,
                      approx=n_loc_m > 20000, device_out=True)
         NI_dev.pop(mod, None)  # HBM headroom for the (n, 200) pool
+        from .device import unregister_dense
+
+        unregister_dense(reps[mod])  # residency tag would pin the rep
         idx = idx[:, 1:]  # drop self (device array)
         l2g_j = jnp.asarray(l2g[mod].astype(np.int32))
         glob = jnp.where(idx >= 0, l2g_j[jnp.where(idx >= 0, idx, 0)], -1)

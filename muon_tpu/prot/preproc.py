@@ -291,9 +291,16 @@ def clr(
         else:
             import jax.numpy as jnp
 
+            from ..ops.device import register_dense
+
             xd = jnp.asarray(x)
             logmean = jnp.log1p(xd).mean(axis=axis, keepdims=True)
-            x = np.asarray(jnp.log1p(xd / jnp.exp(logmean)), dtype=np.asarray(x).dtype)
+            res_dev = jnp.log1p(xd / jnp.exp(logmean))
+            x = np.asarray(res_dev, dtype=np.asarray(x).dtype)
+            # downstream pca/neighbors re-enter via the residency tag
+            # instead of re-uploading the (1M×D) normalized matrix
+            if x.dtype == res_dev.dtype:
+                register_dense(x, res_dev)
     elif flavor in ("stoeckius", "standard"):
         import jax.numpy as jnp
 
