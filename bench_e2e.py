@@ -283,6 +283,9 @@ def main():
         pt.pp.clr(prot)
         scores, _, _, _ = _pca(np.asarray(prot.X), n_comps=30)
         prot.obsm["X_pca"] = np.asarray(scores)
+        from muon_tpu.ops.device import unregister_dense
+
+        unregister_dense(prot.X)  # 480MB HBM pin otherwise outlives pca
 
     # MOFA inputs: most-variable 256 features per count modality, captured
     # BEFORE the big matrices are dropped
@@ -329,6 +332,23 @@ def main():
     atac.X = None
     gc.collect()
 
+    # --- stochastic-VI MOFA (before the graph phase: its device-resident
+    # (1M, 256) views + VB state would otherwise overlap WNN's candidate
+    # matrix peak — measured HBM OOM with both resident) -----------------
+    with timed("mofa.svi"):
+        from muon_tpu.models.mofa import MOFAConfig, fit_mofa
+
+        cfg = MOFAConfig(n_factors=K_MOFA, likelihoods=["gaussian"] * 2)
+        res = fit_mofa(
+            [Y_rna, Y_atac], cfg,
+            n_iterations=MOFA_ITERS, min_iterations=20,
+            svi_mode=True, svi_batch_fraction=min(50_000 / N, 1.0),
+            elbo_every=5,
+        )
+        mdata.obsm["X_mofa"] = res.Z
+        del Y_rna, Y_atac, res
+        gc.collect()
+
     # --- neighbors + fusion + clustering + embedding --------------------
     with timed("neighbors.rna"):
         mu.pp.neighbors(rna, n_neighbors=20, use_rep="X_pca")
@@ -343,19 +363,6 @@ def main():
         mu.tl.leiden(mdata, resolution=1.0)
     with timed("umap200"):
         mu.tl.umap(mdata)
-
-    # --- stochastic-VI MOFA ---------------------------------------------
-    with timed("mofa.svi"):
-        from muon_tpu.models.mofa import MOFAConfig, fit_mofa
-
-        cfg = MOFAConfig(n_factors=K_MOFA, likelihoods=["gaussian"] * 2)
-        res = fit_mofa(
-            [Y_rna, Y_atac], cfg,
-            n_iterations=MOFA_ITERS, min_iterations=20,
-            svi_mode=True, svi_batch_fraction=min(50_000 / N, 1.0),
-            elbo_every=5,
-        )
-        mdata.obsm["X_mofa"] = res.Z
 
     total = time.perf_counter() - t_all0
 

@@ -169,7 +169,14 @@ def _rsvd_blocks_fn():
     return f
 
 
-def randomized_svd(
+def randomized_svd(*args, **kwargs):
+    from ..utils.profiling import stage
+
+    with stage("linalg/rsvd"):
+        return _randomized_svd_impl(*args, **kwargs)
+
+
+def _randomized_svd_impl(
     X,
     k: int,
     n_oversample: int = 10,

@@ -112,6 +112,13 @@ class LazyDeviceCSR(sp.csr_matrix):
 
 
 def from_scipy(X, pad_multiple: int = 8192, dtype=None) -> DeviceCOO:
+    from ..utils.profiling import stage
+
+    with stage("sparse/from_scipy"):
+        return _from_scipy_impl(X, pad_multiple, dtype)
+
+
+def _from_scipy_impl(X, pad_multiple: int = 8192, dtype=None) -> DeviceCOO:
     """Upload a scipy sparse matrix into padded device COO.
 
     If the matrix carries a device-residency tag (attached by
