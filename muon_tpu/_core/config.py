@@ -16,7 +16,19 @@ OPTIONS = {
     "compute_dtype": "float32",
     "display_style": "text",  # kept for mudata-parity ("text" | "html")
     "profile": False,         # per-stage wall timers (muon_tpu.utils.profiling)
+    # jax.sharding.Mesh with a "cells" axis — when set (and spanning >1
+    # device), the public pipeline entry points (ac.pp.tfidf, ac.tl.lsi,
+    # mu.pp.neighbors, mu.tl.umap, mu.tl.mofa) dispatch to the sharded
+    # SPMD programs in muon_tpu.parallel.pipeline
+    "mesh": None,
 }
+
+
+def _valid_mesh(m):
+    if m is None:
+        return True
+    return hasattr(m, "shape") and "cells" in getattr(m, "axis_names", ())
+
 
 _VALID_OPTIONS = {
     "device": lambda x: x in ("auto", "tpu", "cpu", "gpu"),
@@ -24,7 +36,26 @@ _VALID_OPTIONS = {
     "compute_dtype": lambda x: x in ("float32", "float64", "bfloat16"),
     "display_style": lambda x: x in ("text", "html"),
     "profile": lambda x: x in (True, False),
+    "mesh": _valid_mesh,
 }
+
+
+def current_mesh(mesh=None):
+    """Resolve the active device mesh for a pipeline call: an explicit
+    ``mesh=`` kwarg wins over the ``mu.set_options(mesh=...)`` global.
+    Returns None unless the resolved mesh spans more than one device
+    (single-device meshes fall through to the plain kernels, which skip
+    the shard/psum overhead)."""
+    m = mesh if mesh is not None else OPTIONS.get("mesh")
+    if m is None:
+        return None
+    if not _valid_mesh(m):
+        raise ValueError(
+            "mesh must be a jax.sharding.Mesh with a 'cells' axis"
+        )
+    if int(getattr(m, "size", 1)) <= 1:
+        return None
+    return m
 
 
 class set_options:

@@ -312,11 +312,16 @@ def neighbors(
     random_state: Optional[int] = 42,
     use_rep: Optional[str] = None,
     n_pcs: Optional[int] = None,
+    mesh=None,
 ) -> Optional[MuData]:
     """Weighted-nearest-neighbors multimodal fusion (Hao et al. 2020;
     Swanson et al. 2020). TPU-native: exact batched kNN + kernel fusion on
     device, replacing the reference's NN-descent/numba path
-    (muon/_core/preproc.py:264-640)."""
+    (muon/_core/preproc.py:264-640).
+
+    ``mesh`` (or the ``mu.set_options(mesh=...)`` global): run the kNN
+    searches and the candidate fusion scoring as SPMD programs sharded
+    over the mesh's "cells" axis (parallel/pipeline)."""
     from ..ops.wnn import wnn_neighbors
 
     return wnn_neighbors(
@@ -335,6 +340,7 @@ def neighbors(
         random_state=random_state,
         use_rep=use_rep,
         n_pcs=n_pcs,
+        mesh=mesh,
     )
 
 

@@ -372,10 +372,16 @@ def umap(
     copy: bool = False,
     method: str = "umap",
     neighbors_key: Optional[str] = None,
+    mesh=None,
 ) -> Optional[Union[MuData, AnnData]]:
     """Embed the (multimodal) neighborhood graph with UMAP
     (reference muon/_core/tools.py:1209-1362); the SGD runs as jit-compiled
-    epochs on device (muon_tpu.ops.umap)."""
+    epochs on device (muon_tpu.ops.umap).
+
+    ``mesh`` (or the ``mu.set_options(mesh=...)`` global): the SGD runs
+    as the SPMD program parallel/pipeline.sharded_umap_embed — edges
+    sharded over "cells", one psum per epoch."""
+    from .config import current_mesh
     from ..ops.umap import umap_embed, find_ab_params
 
     data = mdata.copy() if copy else mdata
@@ -390,7 +396,24 @@ def umap(
     if a is None or b is None:
         a, b = find_ab_params(spread, min_dist)
 
-    emb = umap_embed(
+    mesh_r = current_mesh(mesh)
+    if mesh_r is not None:
+        from ..parallel.pipeline import sharded_umap_embed
+
+        emb = sharded_umap_embed(
+            conn.tocsr(),
+            mesh_r,
+            n_components=n_components,
+            n_epochs=maxiter if maxiter else 200,
+            min_dist=min_dist,
+            spread=spread,
+            alpha=alpha,
+            gamma=gamma,
+            negative_sample_rate=negative_sample_rate,
+            random_state=random_state if isinstance(random_state, int) else 42,
+        )
+    else:
+        emb = umap_embed(
         conn.tocsr(),
         n_components=n_components,
         n_epochs=maxiter,

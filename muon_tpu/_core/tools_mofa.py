@@ -84,12 +84,19 @@ def mofa(
     verbose: bool = False,
     quiet: bool = True,
     copy: bool = False,
+    mesh=None,
 ):
     """Run MOFA+ (parameter surface of reference muon/_core/tools.py:290-329;
     the VB training loop itself is muon_tpu.models.mofa — SURVEY §7 step 5).
 
     ``gpu_mode`` is accepted for API parity and ignored: compute always
-    runs on the configured JAX backend (TPU when available)."""
+    runs on the configured JAX backend (TPU when available). Multi-chip
+    execution is controlled by ``mesh`` (or the
+    ``mu.set_options(mesh=...)`` global): the VB state is GSPMD-sharded
+    over the mesh (Z/E over "cells", W/τ over "feat" — see
+    parallel/mesh.shard_mofa_state) and every sweep runs as one SPMD
+    program."""
+    from .config import current_mesh
     from ..models.mofa import MOFAConfig, fit_mofa
 
 
@@ -233,6 +240,27 @@ def mofa(
             f"Training MOFA+ on TPU: {len(views)} views, {N} cells, "
             f"K={n_factors}..."
         )
+    # -- multi-chip: pad the obs axis to a multiple of the mesh's "cells"
+    #    dimension with all-NaN rows (they route through the existing
+    #    missing-data masks, so they carry zero statistical weight) and
+    #    trim the N-sized results back after training -----------------------
+    mesh_r = current_mesh(mesh)
+    n_pad_rows = 0
+    if mesh_r is not None:
+        P = int(mesh_r.shape["cells"])
+        n_pad_rows = (-(-N // P) * P) - N
+        if n_pad_rows:
+            Ys = [
+                np.vstack([
+                    Y,
+                    np.full((n_pad_rows, Y.shape[1]), np.nan, Y.dtype),
+                ])
+                for Y in Ys
+            ]
+            groups = np.concatenate(
+                [groups, np.zeros(n_pad_rows, groups.dtype)]
+            )
+
     fit_kwargs = dict(
         groups=groups,
         n_iterations=n_iterations,
@@ -243,6 +271,7 @@ def mofa(
         svi_learning_rate=svi_learning_rate,
         svi_forgetting_rate=svi_forgetting_rate,
         svi_start_stochastic=svi_start_stochastic,
+        mesh=mesh_r,
     )
     if smooth_covariate is not None:
         # MEFISTO smooth factors: GP priors over the covariate (reference
@@ -319,6 +348,20 @@ def mofa(
         fit_kwargs["checkpoint_every"] = max(25, n_iterations // 20)
     try:
         res = fit_mofa(Ys, config, **fit_kwargs)
+        if n_pad_rows:
+            from dataclasses import replace as _dc_replace
+
+            Ys = [Y[:N] for Y in Ys]
+            groups = groups[:N]
+            res = _dc_replace(
+                res,
+                Z=res.Z[:N],
+                warped_covariates=(
+                    None
+                    if res.warped_covariates is None
+                    else res.warped_covariates[:N]
+                ),
+            )
     except KeyboardInterrupt:
         if save_interrupted:
             warn(

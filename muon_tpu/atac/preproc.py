@@ -39,13 +39,23 @@ def tfidf(
     copy: bool = False,
     from_layer: Optional[str] = None,
     to_layer: Optional[str] = None,
+    mesh=None,
 ):
     """TF-IDF transform of peak counts (reference muon/_atac/preproc.py:16-129).
 
     TF: counts normalised per cell (× scale_factor, log1p optional);
     IDF: n_cells / per-peak counts (log1p optional); returns TF·IDF.
+
+    ``mesh`` (or the ``mu.set_options(mesh=...)`` global): a
+    jax.sharding.Mesh with a "cells" axis — sparse input is then
+    row-sharded over the mesh and transformed by the SPMD kernel
+    (parallel/pipeline.sharded_tfidf_data, IDF column sums psum'd over
+    "cells"); the result carries its device shards for ``ac.tl.lsi``.
     """
     adata = _get_atac(data)
+    from .._core.config import current_mesh
+
+    mesh = current_mesh(mesh)
 
     if log_tfidf and (log_tf or log_idf):
         raise AttributeError(
@@ -83,6 +93,18 @@ def tfidf(
         res = dsp.DeviceBackedCSR(
             counts._h5, dX._replace(data=new_data), counts.shape, dX.nnz
         )
+    elif issparse(counts) and mesh is not None:
+        from ..parallel.pipeline import (
+            shard_rows, sharded_tfidf_data, sharded_values_to_scipy,
+        )
+
+        X = counts.tocsr()
+        Xs = shard_rows(X, mesh)
+        Xs = sharded_tfidf_data(
+            Xs, log_tf=log_tf, log_idf=log_idf, log_tfidf=log_tfidf,
+            scale_factor=scale_factor,
+        )
+        res = sharded_values_to_scipy(Xs, X)
     elif issparse(counts):
         from ..ops import sparse as dsp
 

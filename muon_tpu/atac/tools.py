@@ -54,20 +54,49 @@ def lsi(
     n_comps: int = 50,
     n_iter: int = 7,
     random_state: int = 0,
+    mesh=None,
 ):
     """Latent Semantic Indexing via randomized truncated SVD on TPU
     (semantics of reference muon/_atac/tools.py:29-71: components in
     descending order, embeddings optionally z-scored, stdev = s/√(n−1)).
 
+    ``mesh`` (or the ``mu.set_options(mesh=...)`` global): run the SVD as
+    the SPMD program parallel/pipeline.sharded_rsvd over the "cells"
+    mesh axis; a sparse X carrying device shards from a sharded
+    ``ac.pp.tfidf`` is reused without re-upload.
+
     Writes ``obsm["X_lsi"]``, ``varm["LSI"]``, ``uns["lsi"]["stdev"]``.
     """
     adata = _get_atac(data)
-    from ..ops.linalg import randomized_svd
+    from .._core.config import current_mesh
 
+    mesh = current_mesh(mesh)
     n_comps = min(n_comps, adata.X.shape[1])
-    U, s, Vt = randomized_svd(
-        adata.X, k=n_comps, n_iter=n_iter, seed=random_state
-    )
+    if mesh is not None:
+        from scipy.sparse import csr_matrix, issparse
+
+        from ..parallel.pipeline import (
+            _mesh_of, shard_rows, sharded_rsvd,
+        )
+
+        X = adata.X
+        Xs = getattr(X, "_muon_tpu_sharded", None)
+        if (
+            Xs is None
+            or Xs.shape != X.shape
+            or _mesh_of(Xs) is not mesh
+        ):
+            Xc = X.tocsr() if issparse(X) else csr_matrix(np.asarray(X))
+            Xs = shard_rows(Xc, mesh)
+        U, s, Vt = sharded_rsvd(
+            Xs, k=n_comps, n_iter=n_iter, seed=random_state
+        )
+    else:
+        from ..ops.linalg import randomized_svd
+
+        U, s, Vt = randomized_svd(
+            adata.X, k=n_comps, n_iter=n_iter, seed=random_state
+        )
     U = np.asarray(U)
     s = np.asarray(s)
     Vt = np.asarray(Vt)

@@ -99,9 +99,70 @@ def spectral_init(graph: sp.csr_matrix, n_components: int, seed: int = 0):
     return emb.astype(np.float32)
 
 
+def _build_buckets(heads, tails, epochs_per_sample, n, n_epochs):
+    """Bucket edges by ⌊log2(eps)⌋ into FLAT per-bucket edge lists;
+    bucket b is processed only every 2^b epochs (see
+    `_optimize_layout_bucketed_fn`).
+
+    The max stride is capped at ~n_epochs/12 so the schedule jitter a
+    bucket introduces (≤ stride−1 epochs) stays a small fraction of the
+    run — at 200 epochs the weakest edges fire ≤15 epochs late, still on
+    their own cadence. Below ~2M edges the epoch cost is the negative
+    pass + fixed overhead and bucketing buys nothing — one stride-1
+    bucket there reproduces the unbucketed kernel exactly.
+
+    Buckets stay FLAT 1-D (sorted-by-head edge lists + sorted
+    segment-sums) rather than dense (rows, Dmax) grids: TPU tile layouts
+    pad a narrow minor dim to 128 lanes, so a (rows, 8) f32 grid occupies
+    16× its logical size in HBM — measured compile-time OOM at 1M cells
+    (15.85G requested), while XLA lays (E,)/(E, dims) arrays out without
+    padding. Each bucket's edge axis is padded to a coarse power-of-two
+    bucket (pad edges: head n−1, eps ∞ → never due, zero gradient) so the
+    kernel compiles once per size class, not once per dataset.
+
+    Returns (strides, heads_bs, tails_bs, eps_bs, eons_bs) lists of
+    device arrays."""
+    _, jnp = _jax()
+    E = len(heads)
+    max_exp = (
+        0
+        if E < 2_000_000
+        else int(
+            np.clip(np.floor(np.log2(max(1.0, n_epochs / 12.0))), 0, 5)
+        )
+    )
+    finite = np.isfinite(epochs_per_sample)
+    bid = np.full(len(heads), max_exp, np.int64)
+    bid[finite] = np.clip(
+        np.floor(np.log2(np.maximum(epochs_per_sample[finite], 1.0))),
+        0, max_exp,
+    ).astype(np.int64)
+    strides, heads_bs, tails_bs, eps_bs, eons_bs = [], [], [], [], []
+    for bi in range(max_exp + 1):
+        sel = bid == bi
+        if not sel.any() and bi > 0:
+            continue
+        hh, tt, ee = heads[sel], tails[sel], epochs_per_sample[sel]
+        Eb = len(hh)
+        grain = max(8192, 1 << max(Eb.bit_length() - 4, 3))
+        Eb_pad = -(-max(Eb, 1) // grain) * grain
+        if Eb_pad > Eb:
+            # heads padded with n-1 keeps the sorted-segment promise valid
+            hh = np.pad(hh, (0, Eb_pad - Eb), constant_values=n - 1)
+            tt = np.pad(tt, (0, Eb_pad - Eb))
+            ee = np.pad(ee, (0, Eb_pad - Eb), constant_values=np.inf)
+        e_j = jnp.asarray(ee.astype(np.float32))
+        strides.append(1 << bi)
+        heads_bs.append(jnp.asarray(hh.astype(np.int32)))
+        tails_bs.append(jnp.asarray(tt.astype(np.int32)))
+        eps_bs.append(e_j)
+        eons_bs.append(e_j)  # eons starts at eps (first due at t=eps)
+    return strides, heads_bs, tails_bs, eps_bs, eons_bs
+
+
 @lru_cache(maxsize=None)
 def _optimize_layout_bucketed_fn():
-    """Symmetric-graph SGD epochs over PER-STRIDE dense-row edge layouts.
+    """Symmetric-graph SGD epochs over PER-STRIDE flat edge lists.
 
     umap-learn's due schedule touches each edge only every
     ``epochs_per_sample`` epochs — on real fuzzy graphs the mean due
@@ -117,6 +178,10 @@ def _optimize_layout_bucketed_fn():
     per bucket: (i,j) and (j,i) share a weight, hence an eps, hence a
     bucket, so the tail-fold (2× head update) stays valid.
 
+    Each bucket is a flat head-sorted edge list (see `_build_buckets`
+    for why not a dense grid: TPU tile padding), reduced with a sorted
+    segment-sum — the same layout the unbucketed kernel uses.
+
     Repulsion uses the EXPECTED per-epoch due rate Σ_e 1/eps_e per
     vertex (``dc_exp``, precomputed on host) instead of the realized
     per-epoch due count: the expectation matches umap-learn's
@@ -129,17 +194,16 @@ def _optimize_layout_bucketed_fn():
 
     @partial(jax.jit, static_argnames=("n_run", "n_epochs", "neg_rate",
                                        "strides"))
-    def f(emb, eons_bs, tails_bs, row_head_bs, eps_bs, dc_exp, epoch0,
+    def f(emb, eons_bs, tails_bs, heads_bs, eps_bs, dc_exp, epoch0,
           n_run, n_epochs, a, b, gamma, init_alpha, neg_rate, key,
           strides):
         n = emb.shape[0]
         B = len(strides)
 
-        def bucket_pass(emb, eons_l, tails_l, row_head, eps_l, epoch):
-            due = eons_l <= (epoch + 1.0)            # (n_rows, Dmax)
-            nr, Dm = tails_l.shape
-            t = emb[tails_l.reshape(-1)].reshape(nr, Dm, -1)
-            h = emb[row_head][:, None, :]
+        def bucket_pass(emb, eons_l, tails_l, heads_l, eps_l, epoch):
+            due = eons_l <= (epoch + 1.0)            # (E_b,)
+            h = emb[heads_l]
+            t = emb[tails_l]
             diff = h - t
             d2 = (diff * diff).sum(-1)
             grad_coeff = (-2.0 * a * b * d2 ** (b - 1.0)) / (
@@ -148,9 +212,8 @@ def _optimize_layout_bucketed_fn():
             grad_coeff = jnp.where(d2 > 0, grad_coeff, 0.0)
             g = jnp.clip(grad_coeff[..., None] * diff, -4.0, 4.0)
             g = jnp.where(due[..., None], g, 0.0)
-            row_g = g.sum(axis=1)
             upd = jax.ops.segment_sum(
-                row_g, row_head, num_segments=n, indices_are_sorted=True,
+                g, heads_l, num_segments=n, indices_are_sorted=True,
             )
             eons_l = jnp.where(due, eons_l + eps_l, eons_l)
             return upd, eons_l
@@ -168,7 +231,7 @@ def _optimize_layout_bucketed_fn():
 
                 def run(eons_l=eons_l, bi=bi):
                     return bucket_pass(
-                        emb, eons_l, tails_bs[bi], row_head_bs[bi],
+                        emb, eons_l, tails_bs[bi], heads_bs[bi],
                         eps_bs[bi], epoch,
                     )
 
@@ -400,86 +463,21 @@ def umap_embed(
     E_eff = max(1, len(heads))
 
     if symmetric:
-        # PER-STRIDE dense-row edge layouts (see
-        # _optimize_layout_bucketed_fn): edges bucketed by ⌊log2(eps)⌋ so
-        # rarely-due edges are only gathered on their stride epochs.
+        # PER-STRIDE flat edge lists (see _optimize_layout_bucketed_fn):
+        # edges bucketed by ⌊log2(eps)⌋ so rarely-due edges are only
+        # gathered on their stride epochs.
         stage_build = stage("umap/edge_layout(host)")
         stage_build.__enter__()
-
-        def _row_layout(hh, tt, ee, Dmax=64):
-            """(heads, tails, eps) → dense (n_rows_pad, Dmax) grid."""
-            deg = np.bincount(hh, minlength=n).astype(np.int64)
-            rows_per_head = np.maximum(
-                -(-deg // Dmax), (deg > 0).astype(np.int64)
-            )
-            row_start = np.concatenate([[0], np.cumsum(rows_per_head)])
-            n_rows = int(row_start[-1])
-            n_rows_pad = max(64, -(-n_rows // 4096) * 4096)
-            row_head = np.full(n_rows_pad, n - 1, np.int32)
-            row_head[:n_rows] = np.repeat(
-                np.arange(n, dtype=np.int32), rows_per_head
-            )
-            edge_start = np.concatenate([[0], np.cumsum(deg)])
-            slot = np.arange(len(hh), dtype=np.int64) - edge_start[hh]
-            dest = row_start[hh] * Dmax + slot
-            tails_l = np.zeros(n_rows_pad * Dmax, np.int32)
-            tails_l[dest] = tt
-            eps_l = np.full(n_rows_pad * Dmax, np.inf, np.float32)
-            eps_l[dest] = ee
-            return (
-                jnp.asarray(tails_l.reshape(n_rows_pad, Dmax)),
-                jnp.asarray(eps_l.reshape(n_rows_pad, Dmax)),
-                jnp.asarray(row_head),
-            )
-
-        # bucket by ⌊log2(eps)⌋; the max stride is capped at ~n_epochs/12
-        # so the schedule jitter a bucket introduces (≤ stride−1 epochs)
-        # stays a small fraction of the run — at 200 epochs the weakest
-        # edges fire ≤15 epochs late, still on their own cadence.
-        # Below ~2M edges the epoch cost is the negative pass + fixed
-        # overhead, and per-bucket grid padding outweighs the gather
-        # savings (measured 7.8s vs 5.2s warm at 4k cells on CPU) — one
-        # stride-1 bucket there reproduces the unbucketed kernel exactly.
-        max_exp = (
-            0
-            if E < 2_000_000
-            else int(
-                np.clip(np.floor(np.log2(max(1.0, n_epochs / 12.0))), 0, 5)
-            )
+        strides, heads_bs, tails_bs, eps_bs, eons_bs = _build_buckets(
+            heads, tails, epochs_per_sample, n, n_epochs
         )
-        finite = np.isfinite(epochs_per_sample)
-        bid = np.zeros(len(heads), np.int64)
-        bid[finite] = np.clip(
-            np.floor(np.log2(np.maximum(epochs_per_sample[finite], 1.0))),
-            0, max_exp,
-        ).astype(np.int64)
-        bid[~finite] = max_exp
-        strides, tails_bs, eps_bs, row_head_bs, eons_bs = [], [], [], [], []
-        for bi in range(max_exp + 1):
-            sel = bid == bi
-            if not sel.any():
-                continue
-            t_l, e_l, r_h = _row_layout(
-                heads[sel], tails[sel], epochs_per_sample[sel]
-            )
-            strides.append(1 << bi)
-            tails_bs.append(t_l)
-            eps_bs.append(e_l)
-            row_head_bs.append(r_h)
-            eons_bs.append(e_l)  # eons starts at eps (first due at t=eps)
-        if not strides:  # degenerate: no edges at all
-            t_l, e_l, r_h = _row_layout(heads[:0], tails[:0],
-                                        epochs_per_sample[:0])
-            strides, tails_bs, eps_bs, row_head_bs, eons_bs = (
-                [1], [t_l], [e_l], [r_h], [e_l]
-            )
         # expected per-epoch due rate per vertex — the repulsion scale
         # (see _optimize_layout_bucketed_fn docstring)
         dc_exp_j = jnp.asarray(dc_exp_np)
         f = _optimize_layout_bucketed_fn()
         state = (jnp.asarray(emb), tuple(eons_bs), key)
-        tails_bs, eps_bs, row_head_bs = (
-            tuple(tails_bs), tuple(eps_bs), tuple(row_head_bs)
+        heads_bs, tails_bs, eps_bs = (
+            tuple(heads_bs), tuple(tails_bs), tuple(eps_bs)
         )
         stage_build.__exit__(None, None, None)
         chunk = max(1, min(25, int(3.0e8 // E_eff)))
@@ -487,7 +485,7 @@ def umap_embed(
             for e0 in range(0, int(n_epochs), chunk):
                 n_run = min(chunk, int(n_epochs) - e0)
                 state = f(
-                    state[0], state[1], tails_bs, row_head_bs, eps_bs,
+                    state[0], state[1], tails_bs, heads_bs, eps_bs,
                     dc_exp_j, float(e0), int(n_run), int(n_epochs),
                     float(a), float(b), float(gamma), float(alpha),
                     int(negative_sample_rate), state[2], tuple(strides),

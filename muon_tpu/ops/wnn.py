@@ -90,19 +90,36 @@ def single_neighbors(
     metric: str = "euclidean",
     key_added=None,
     random_state: int = 0,
+    mesh=None,
 ):
     """Exact-kNN + UMAP connectivities for one modality. Writes
     ``obsp["distances"]/["connectivities"]`` and ``uns["neighbors"]`` with
-    the params-in-uns convention WNN re-reads (SURVEY §5 observability)."""
+    the params-in-uns convention WNN re-reads (SURVEY §5 observability).
+
+    With an active mesh (kwarg or ``mu.set_options(mesh=...)``) the kNN
+    runs as the SPMD program parallel/pipeline.sharded_knn — query rows
+    sharded over "cells"."""
+    from .._core.config import current_mesh
+
+    mesh = current_mesh(mesh)
     rep = choose_representation(adata, use_rep=use_rep, n_pcs=n_pcs)
-    # large inputs use the approximate kNN path (bf16 cross-terms +
-    # hardware approx top-k, recall ~0.997) — the reference's neighbors
-    # are approximate as well (pynndescent NN-descent)
-    idx, dists = knn(
-        rep, n_neighbors - 1, metric=metric, approx=rep.shape[0] > 20000
-    )
-    idx = np.asarray(idx)
-    dists = np.asarray(dists, dtype=np.float64)
+    if mesh is not None and metric in ("euclidean", "l2"):
+        from ..parallel.pipeline import sharded_knn
+
+        d2, idx = sharded_knn(
+            np.asarray(rep, np.float32), mesh, k=n_neighbors - 1
+        )
+        idx = np.asarray(idx)
+        dists = np.sqrt(np.maximum(np.asarray(d2, np.float64), 0.0))
+    else:
+        # large inputs use the approximate kNN path (bf16 cross-terms +
+        # hardware approx top-k, recall ~0.997) — the reference's
+        # neighbors are approximate as well (pynndescent NN-descent)
+        idx, dists = knn(
+            rep, n_neighbors - 1, metric=metric, approx=rep.shape[0] > 20000
+        )
+        idx = np.asarray(idx)
+        dists = np.asarray(dists, dtype=np.float64)
 
     n = adata.n_obs
     k = idx.shape[1]  # n_neighbors incl self
@@ -496,9 +513,11 @@ def wnn_neighbors(
     random_state=42,
     use_rep=None,
     n_pcs=None,
+    mesh=None,
 ):
     jax, jnp = _jax()
     from .._core.anndata import AnnData
+    from .._core.config import current_mesh
 
     if isinstance(mdata, AnnData):
         # single-modality convenience (scanpy sc.pp.neighbors surface)
@@ -506,7 +525,9 @@ def wnn_neighbors(
             mdata, n_neighbors=n_neighbors or 15, metric=metric,
             use_rep=use_rep, n_pcs=n_pcs,
             key_added=key_added, random_state=random_state or 0,
+            mesh=mesh,
         )
+    mesh = current_mesh(mesh)
 
     mdata = mdata.copy() if copy else mdata
     if neighbor_keys is None:
@@ -659,8 +680,19 @@ def wnn_neighbors(
         # terms are plenty accurate for pool SELECTION and 4x faster.
         # rep_dev reuses the device copy from the bandwidth phase (no
         # re-upload).
-        idx, _ = knn(rep_dev.pop(mod, reps[mod]), k_cand, metric=cmetric,
-                     approx=n_loc_m > 20000, device_out=True)
+        if mesh is not None and cmetric in ("euclidean", "l2"):
+            # multi-chip: query rows sharded over "cells"
+            from ..parallel.pipeline import sharded_knn
+
+            rep_dev.pop(mod, None)
+            _, idx_h = sharded_knn(
+                np.asarray(reps[mod], np.float32), mesh, k=k_cand
+            )
+            idx = jnp.asarray(idx_h)
+        else:
+            idx, _ = knn(rep_dev.pop(mod, reps[mod]), k_cand,
+                         metric=cmetric,
+                         approx=n_loc_m > 20000, device_out=True)
         NI_dev.pop(mod, None)  # HBM headroom for the (n, 200) pool
         from .device import unregister_dense
 
@@ -717,22 +749,41 @@ def wnn_neighbors(
             sigw[:n_global, n_mods + i] = weights[:, i].astype(np.float32)
             dims_list.append((off, off + d_m))
             off += d_m
-        # bf16 on the wire: halves the 1M×ΣD upload through the tunnel
-        cat16 = jnp.asarray(cat.astype(ml_dtypes.bfloat16))
-        del cat
-        scores_j = _fusion_all_fn()(
-            cand_p, cat16, jnp.asarray(aux), jnp.asarray(sigw),
-            block, tuple(dims_list), fusion_metric,
-        )
-        del cat16
+        kfin = min(n_neighbors + 1, maxc)
+        if mesh is not None:
+            # multi-chip: candidate rows sharded over "cells", rep table
+            # replicated (parallel/pipeline.sharded_wnn_scores shares
+            # _fusion_block_math with the single-device kernel below)
+            from ..parallel.pipeline import sharded_wnn_scores
+
+            cat16_h = cat.astype(ml_dtypes.bfloat16)
+            del cat
+            idx_sh, dist_sh = sharded_wnn_scores(
+                np.asarray(cand_p)[:n_global], cat16_h[:n_global],
+                aux[:n_global], sigw[:n_global], tuple(dims_list),
+                mesh, metric=fusion_metric, k=kfin,
+            )
+            scores_j = None
+        else:
+            # bf16 on the wire: halves the 1M×ΣD upload through the tunnel
+            cat16 = jnp.asarray(cat.astype(ml_dtypes.bfloat16))
+            del cat
+            scores_j = _fusion_all_fn()(
+                cand_p, cat16, jnp.asarray(aux), jnp.asarray(sigw),
+                block, tuple(dims_list), fusion_metric,
+            )
+            del cat16
 
     # -- final kNN + connectivities ----------------------------------------------
     stage_final = stage("wnn/finalize")
     stage_final.__enter__()
-    kfin = min(n_neighbors + 1, maxc)
-    idx_f, dist_f = _final_topk_fn()(scores_j, cand_p, kfin)
-    idx_f = np.asarray(idx_f)[:n_global]
-    dist_f = np.asarray(dist_f, dtype=np.float64)[:n_global]
+    if scores_j is None:
+        idx_f = np.asarray(idx_sh)
+        dist_f = np.asarray(dist_sh, dtype=np.float64)
+    else:
+        idx_f, dist_f = _final_topk_fn()(scores_j, cand_p, kfin)
+        idx_f = np.asarray(idx_f)[:n_global]
+        dist_f = np.asarray(dist_f, dtype=np.float64)[:n_global]
 
     conn = compute_connectivities_umap(idx_f, dist_f, n_global, kfin)
     rows = np.repeat(np.arange(n_global), kfin)

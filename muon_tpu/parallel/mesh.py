@@ -128,10 +128,17 @@ def shard_mofa_state(state: dict, mesh) -> dict:
     """
     jax = _jax()
     cells2 = cells_sharding(mesh, 2)
-    grid = grid_sharding(mesh)
-    feat2 = feat_sharding(mesh, 2, 0)
-    feat1 = feat_sharding(mesh, 1, 0)
     rep = replicated(mesh)
+    if "feat" in mesh.axis_names:
+        grid = grid_sharding(mesh)
+        feat2 = feat_sharding(mesh, 2, 0)
+        feat1 = feat_sharding(mesh, 1, 0)
+    else:
+        # cells-only mesh (public mesh= kwarg): W/τ stay replicated,
+        # N-sized state still shards over "cells"
+        grid = cells2
+        feat2 = rep
+        feat1 = rep
 
     def put(x, s):
         return None if x is None else jax.device_put(x, s)

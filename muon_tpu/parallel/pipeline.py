@@ -34,6 +34,7 @@ __all__ = [
     "sharded_knn",
     "sharded_umap_embed",
     "sharded_wnn_scores",
+    "sharded_values_to_scipy",
 ]
 
 
@@ -154,6 +155,28 @@ def sharded_col_sums(Xs: ShardedCOO):
 def _mesh_of(Xs: ShardedCOO):
     shd = Xs.data.sharding
     return shd.mesh
+
+
+def sharded_values_to_scipy(Xs: ShardedCOO, X_csr) -> sp.csr_matrix:
+    """Rebuild a scipy CSR with X_csr's sparsity pattern and the sharded
+    value planes of ``Xs`` (the multi-chip analogue of
+    ops/sparse.to_scipy_data for structure-preserving transforms).
+
+    The result carries the ShardedCOO in ``_muon_tpu_sharded`` so a
+    downstream sharded op (``ac.tl.lsi`` → sharded_rsvd) reuses the
+    device shards without re-uploading."""
+    X_csr = X_csr.tocsr()
+    n = X_csr.shape[0]
+    P, R = Xs.n_shards, Xs.rows_per_shard
+    data2d = np.asarray(Xs.data)
+    parts = []
+    for i in range(P):
+        lo, hi = min(i * R, n), min((i + 1) * R, n)
+        parts.append(data2d[i, : X_csr.indptr[hi] - X_csr.indptr[lo]])
+    out = X_csr.copy()
+    out.data = np.concatenate(parts) if parts else X_csr.data.copy()
+    out._muon_tpu_sharded = Xs
+    return out
 
 
 @lru_cache(maxsize=None)

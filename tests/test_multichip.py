@@ -358,3 +358,128 @@ class TestMultichip:
         stable[:, 1:] &= ~ties
         stable[:, :-1] &= ~ties
         assert (idx_s[stable] == idx_r[stable]).mean() > 0.999
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestPublicAPIMesh:
+    """VERDICT r3 #2 done-criterion: the PUBLIC muon-compatible entry
+    points (ac.pp.tfidf, ac.tl.lsi, mu.pp.neighbors, mu.tl.umap,
+    mu.tl.mofa) dispatch to the sharded SPMD programs when a mesh is
+    active — via kwarg or the mu.set_options(mesh=...) global — and match
+    the single-device results."""
+
+    def _counts(self, n=512, d=160, seed=0, g=8):
+        """Planted block counts: a separated leading spectrum keeps the
+        top factors identifiable between rSVD variants (a flat random
+        spectrum genuinely is not — see
+        test_sharded_lsi_matches_single_device)."""
+        from scipy import sparse as sp
+
+        rng = np.random.default_rng(seed)
+        lab = rng.integers(0, g, n)
+        dense = rng.poisson(0.3, (n, d)).astype(np.float64)
+        for j in range(g):
+            cols = slice(j * (d // g), (j + 1) * (d // g))
+            dense[lab == j, cols] += rng.poisson(
+                5.0, ((lab == j).sum(), d // g)
+            )
+        dense[:, 0] += 1.0  # no empty rows (tfidf row sums)
+        return sp.csr_matrix(dense)
+
+    def test_tfidf_lsi_mesh_kwarg(self):
+        import muon_tpu as mu
+        from muon_tpu import atac as ac
+        from muon_tpu.parallel import make_mesh
+
+        X = self._counts()
+        mesh = make_mesh(8, feat=1)
+
+        a1 = mu.AnnData(X.copy())
+        ac.pp.tfidf(a1)
+        ac.tl.lsi(a1, n_comps=6, n_iter=10)
+
+        a2 = mu.AnnData(X.copy())
+        ac.pp.tfidf(a2, mesh=mesh)
+        assert getattr(a2.X, "_muon_tpu_sharded", None) is not None
+        ac.tl.lsi(a2, n_comps=6, n_iter=10, mesh=mesh)
+
+        np.testing.assert_allclose(
+            np.asarray(a2.X.todense()), np.asarray(a1.X.todense()),
+            rtol=1e-5, atol=1e-7,
+        )
+        s1, s2 = a1.obsm["X_lsi"], a2.obsm["X_lsi"]
+        for j in range(6):
+            cos = abs(np.dot(s1[:, j], s2[:, j])) / (
+                np.linalg.norm(s1[:, j]) * np.linalg.norm(s2[:, j]) + 1e-30
+            )
+            assert cos > 0.999, (j, cos)
+        np.testing.assert_allclose(
+            a1.uns["lsi"]["stdev"], a2.uns["lsi"]["stdev"], rtol=1e-3
+        )
+
+    def test_neighbors_mesh_single_modality(self):
+        import muon_tpu as mu
+        from muon_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(0)
+        Xp = rng.normal(size=(400, 12)).astype(np.float32) * 3
+        a1 = mu.AnnData(Xp.copy())
+        a2 = mu.AnnData(Xp.copy())
+        mu.pp.neighbors(a1, n_neighbors=10)
+        mu.pp.neighbors(a2, n_neighbors=10, mesh=make_mesh(8, feat=1))
+        d1 = a1.obsp["distances"].toarray()
+        d2 = a2.obsp["distances"].toarray()
+        np.testing.assert_allclose(d2, d1, rtol=1e-3, atol=1e-4)
+
+    def test_wnn_umap_mofa_global_mesh(self):
+        """The full multimodal chain through the set_options(mesh=...)
+        global: per-modality neighbors → WNN → UMAP → MOFA."""
+        import muon_tpu as mu
+        from muon_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(1)
+        # n NOT divisible by the 8-wide cells axis: exercises the
+        # public-path obs padding (mofa NaN rows, knn/wnn row pads)
+        n, ncl = 485, 4
+        labels = rng.integers(0, ncl, n)
+        cents1 = rng.normal(size=(ncl, 10)) * 4
+        cents2 = rng.normal(size=(ncl, 8)) * 4
+        R1 = (cents1[labels] + rng.normal(size=(n, 10))).astype(np.float32)
+        R2 = (cents2[labels] + rng.normal(size=(n, 8))).astype(np.float32)
+
+        def build():
+            m1 = mu.AnnData(R1.copy())
+            m2 = mu.AnnData(R2.copy())
+            md = mu.MuData({"a": m1, "b": m2})
+            mu.pp.neighbors(m1, n_neighbors=12)
+            mu.pp.neighbors(m2, n_neighbors=12)
+            return md
+
+        md_ref = build()
+        mu.pp.neighbors(md_ref)
+
+        mesh = make_mesh(8, feat=1)
+        md_mesh = build()
+        with mu.set_options(mesh=mesh):
+            mu.pp.neighbors(md_mesh)
+            mu.tl.umap(md_mesh, maxiter=200)
+            mu.tl.mofa(md_mesh, n_factors=4, n_iterations=30)
+
+        d_ref = md_ref.obsp["distances"]
+        d_mesh = md_mesh.obsp["distances"]
+        # same fused graph up to tie order: compare per-row sorted values
+        v1 = np.sort(d_ref.toarray(), axis=1)[:, -5:]
+        v2 = np.sort(d_mesh.toarray(), axis=1)[:, -5:]
+        np.testing.assert_allclose(v2, v1, rtol=1e-3, atol=1e-4)
+
+        emb = md_mesh.obsm["X_umap"]
+        assert emb.shape == (n, 2) and np.isfinite(emb).all()
+        from scipy.spatial.distance import cdist
+
+        D = cdist(emb, emb)
+        same = labels[:, None] == labels[None, :]
+        np.fill_diagonal(same, False)
+        assert D[same].mean() / D[~same].mean() < 0.6
+
+        assert md_mesh.obsm["X_mofa"].shape == (n, 4)
+        assert np.isfinite(md_mesh.obsm["X_mofa"]).all()
