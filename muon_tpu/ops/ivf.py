@@ -28,7 +28,7 @@ from functools import lru_cache, partial
 
 import numpy as np
 
-__all__ = ["ivf_knn"]
+__all__ = ["ivf_knn", "build_ivf_layout"]
 
 
 @lru_cache(maxsize=1)
@@ -188,48 +188,15 @@ def _scatter_back_fn():
     return f
 
 
-def ivf_knn(
-    X,
-    k: int,
-    metric: str = "euclidean",
-    n_clusters=None,
-    n_probe: int = 8,
-    kmeans_iters: int = 8,
-    block_queries: int = 1024,
-    seed: int = 0,
-    device_out: bool = False,
-):
-    """Approximate kNN via a device IVF index. Same return convention as
-    ops.knn.knn: (indices (n, k+1), dists (n, k+1)), self in column 0.
-    device_out=True keeps the result on device (no d2h of the (n, k+1)
-    matrices — callers that consume the pool on device skip ~GBs of
-    tunnel traffic at 1M cells)."""
-    jax, jnp = _jax()
-    X = jnp.asarray(X, dtype=jnp.float32)
-    n, d = X.shape
-    k = min(k, n - 1)
-    if metric in ("cosine", "correlation"):
-        Z = X - X.mean(axis=1, keepdims=True) if metric == "correlation" else X
-        norms = jnp.linalg.norm(Z, axis=1, keepdims=True)
-        X = Z / jnp.where(norms == 0, 1.0, norms)
-        metric = "cosine"
-    elif metric in ("euclidean", "l2", "sqeuclidean"):
-        metric = "euclidean" if metric != "sqeuclidean" else "sqeuclidean"
-    else:
-        raise NotImplementedError(f"metric {metric!r} not supported by IVF")
+def build_ivf_layout(a_np, cent_np, C, n_probe, block_queries):
+    """Host-side IVF layout shared by the single-device and sharded
+    searchers: sort points by cluster, split oversize clusters into ≤L
+    chunks (never truncated), build per-cluster probe lists from the
+    tiny C×C centroid-distance problem, and emit fixed-shape work items
+    (one per QB consecutive sorted queries).
 
-    C = n_clusters or int(2 ** round(np.log2(max(np.sqrt(n), 16))))
-    C = min(C, max(16, n // 64))
-    C = max(1, min(C, n))  # rng.choice(n, C, replace=False) needs C <= n
-    rng = np.random.default_rng(seed)
-    init_idx = jnp.asarray(
-        rng.choice(n, size=C, replace=False).astype(np.int32)
-    )
-    blk = max(256, min(8192, (1 << 27) // max(C * 4, 1)))
-    cent, assign = _kmeans_fn()(X, init_idx, C, kmeans_iters, blk)
-
-    # ---- host: cluster layout + work items (4MB download at 1M cells) ----
-    a_np = np.asarray(assign)
+    Returns (order, qids (I, QB), probe_pos (I, P), probe_cnt (I, P), L).
+    """
     order = np.argsort(a_np, kind="stable").astype(np.int32)
     sizes = np.bincount(a_np, minlength=C)
     offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
@@ -251,7 +218,7 @@ def ivf_knn(
     chunk_cluster = np.asarray(chunk_cluster, np.int32)
 
     # probe lists: n_probe nearest clusters per cluster (tiny C×C problem)
-    cn = np.asarray(cent)
+    cn = cent_np
     c2 = (cn * cn).sum(1)
     dcc = c2[:, None] + c2[None, :] - 2.0 * cn @ cn.T
     P_eff = min(n_probe, C)
@@ -295,6 +262,53 @@ def ivf_knn(
     qids = np.stack(item_q)
     probe_pos = np.stack(item_ppos)
     probe_cnt = np.stack(item_pcnt)
+    return order, qids, probe_pos, probe_cnt, L
+
+
+def ivf_knn(
+    X,
+    k: int,
+    metric: str = "euclidean",
+    n_clusters=None,
+    n_probe: int = 8,
+    kmeans_iters: int = 8,
+    block_queries: int = 1024,
+    seed: int = 0,
+    device_out: bool = False,
+):
+    """Approximate kNN via a device IVF index. Same return convention as
+    ops.knn.knn: (indices (n, k+1), dists (n, k+1)), self in column 0.
+    device_out=True keeps the result on device (no d2h of the (n, k+1)
+    matrices — callers that consume the pool on device skip ~GBs of
+    tunnel traffic at 1M cells)."""
+    jax, jnp = _jax()
+    X = jnp.asarray(X, dtype=jnp.float32)
+    n, d = X.shape
+    k = min(k, n - 1)
+    if metric in ("cosine", "correlation"):
+        Z = X - X.mean(axis=1, keepdims=True) if metric == "correlation" else X
+        norms = jnp.linalg.norm(Z, axis=1, keepdims=True)
+        X = Z / jnp.where(norms == 0, 1.0, norms)
+        metric = "cosine"
+    elif metric in ("euclidean", "l2", "sqeuclidean"):
+        metric = "euclidean" if metric != "sqeuclidean" else "sqeuclidean"
+    else:
+        raise NotImplementedError(f"metric {metric!r} not supported by IVF")
+
+    C = n_clusters or int(2 ** round(np.log2(max(np.sqrt(n), 16))))
+    C = min(C, max(16, n // 64))
+    C = max(1, min(C, n))  # rng.choice(n, C, replace=False) needs C <= n
+    rng = np.random.default_rng(seed)
+    init_idx = jnp.asarray(
+        rng.choice(n, size=C, replace=False).astype(np.int32)
+    )
+    blk = max(256, min(8192, (1 << 27) // max(C * 4, 1)))
+    cent, assign = _kmeans_fn()(X, init_idx, C, kmeans_iters, blk)
+
+    # ---- host: cluster layout + work items (4MB download at 1M cells) ----
+    order, qids, probe_pos, probe_cnt, L = build_ivf_layout(
+        np.asarray(assign), np.asarray(cent), C, n_probe, block_queries
+    )
 
     Xs = X[jnp.asarray(order)]
     pos, dvals = _search_fn()(

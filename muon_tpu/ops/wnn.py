@@ -104,13 +104,26 @@ def single_neighbors(
     mesh = current_mesh(mesh)
     rep = choose_representation(adata, use_rep=use_rep, n_pcs=n_pcs)
     if mesh is not None and metric in ("euclidean", "l2"):
-        from ..parallel.pipeline import sharded_knn
+        from .knn import IVF_THRESHOLD
 
-        d2, idx = sharded_knn(
-            np.asarray(rep, np.float32), mesh, k=n_neighbors - 1
-        )
-        idx = np.asarray(idx)
-        dists = np.sqrt(np.maximum(np.asarray(d2, np.float64), 0.0))
+        if rep.shape[0] > IVF_THRESHOLD:
+            # at-scale path: sharded IVF (same threshold as the
+            # single-device dispatch in ops/knn.knn)
+            from ..parallel.pipeline import sharded_ivf_knn
+
+            idx, dists = sharded_ivf_knn(
+                np.asarray(rep, np.float32), mesh, k=n_neighbors - 1
+            )
+            idx = np.asarray(idx)
+            dists = np.asarray(dists, np.float64)
+        else:
+            from ..parallel.pipeline import sharded_knn
+
+            d2, idx = sharded_knn(
+                np.asarray(rep, np.float32), mesh, k=n_neighbors - 1
+            )
+            idx = np.asarray(idx)
+            dists = np.sqrt(np.maximum(np.asarray(d2, np.float64), 0.0))
     else:
         # large inputs use the approximate kNN path (bf16 cross-terms +
         # hardware approx top-k, recall ~0.997) — the reference's

@@ -17,6 +17,7 @@ from .pipeline import (
     sharded_rsvd,
     sharded_lsi,
     sharded_knn,
+    sharded_ivf_knn,
     sharded_umap_embed,
     sharded_wnn_scores,
 )
@@ -36,6 +37,7 @@ __all__ = [
     "sharded_rsvd",
     "sharded_lsi",
     "sharded_knn",
+    "sharded_ivf_knn",
     "sharded_umap_embed",
     "sharded_wnn_scores",
 ]

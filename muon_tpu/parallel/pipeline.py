@@ -32,6 +32,7 @@ __all__ = [
     "sharded_rsvd",
     "sharded_lsi",
     "sharded_knn",
+    "sharded_ivf_knn",
     "sharded_umap_embed",
     "sharded_wnn_scores",
     "sharded_values_to_scipy",
@@ -412,6 +413,214 @@ def sharded_knn(Z, mesh, k: int = 20, chunk: int = 1024):
         D.reshape(P * R, k + 1)[:n],
         I.reshape(P * R, k + 1)[:n],
     )
+
+
+@lru_cache(maxsize=None)
+def _ivf_kmeans_fn(mesh, R, d, C, iters, blk):
+    jax, jnp, shard_map = _jax()
+    Ps = jax.sharding.PartitionSpec
+
+    def body(Xb, valid, cent0):
+        Xl, vl = Xb[0], valid[0]            # (R, d), (R,)
+        nb = R // blk
+
+        def assign(cent):
+            csq = (cent * cent).sum(1)
+            c16 = cent.astype(jnp.bfloat16)
+
+            def one(_, i):
+                q = jax.lax.dynamic_slice(Xl, (i * blk, 0), (blk, d))
+                cross = (q.astype(jnp.bfloat16) @ c16.T).astype(
+                    jnp.float32
+                )
+                d2 = csq[None, :] - 2.0 * cross  # + qsq (const per row)
+                return None, jnp.argmin(d2, axis=1).astype(jnp.int32)
+
+            _, a = jax.lax.scan(one, None, jnp.arange(nb))
+            return a.reshape(R)
+
+        def lloyd(_, cent):
+            a = assign(cent)
+            a_eff = jnp.where(vl, a, C)  # padded rows → dropped segment
+            sums = jax.lax.psum(
+                jax.ops.segment_sum(Xl, a_eff, num_segments=C + 1)[:C],
+                "cells",
+            )
+            cnts = jax.lax.psum(
+                jax.ops.segment_sum(
+                    vl.astype(jnp.float32), a_eff, num_segments=C + 1
+                )[:C],
+                "cells",
+            )
+            new = sums / jnp.maximum(cnts[:, None], 1.0)
+            return jnp.where(cnts[:, None] > 0, new, cent)
+
+        cent = jax.lax.fori_loop(0, iters, lloyd, cent0)
+        return cent, assign(cent)[None]
+
+    f = shard_map(
+        body, mesh=mesh,
+        in_specs=(Ps("cells", None, None), Ps("cells", None), Ps()),
+        out_specs=(Ps(), Ps("cells", None)),
+        check_vma=False,
+    )
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _ivf_search_fn(mesh, I_loc, QB, P_probe, k, L, metric):
+    jax, jnp, shard_map = _jax()
+    Ps = jax.sharding.PartitionSpec
+    from ..ops.ivf import _search_fn
+
+    inner = _search_fn()
+
+    def body(Xs, qids, ppos, pcnt):
+        pos, dvals = inner(
+            Xs, qids[0], ppos[0], pcnt[0], k, L, metric
+        )
+        return pos[None], dvals[None]
+
+    f = shard_map(
+        body, mesh=mesh,
+        in_specs=(
+            Ps(),                      # Xs replicated (sorted DB)
+            Ps("cells", None, None),   # work-item query ids
+            Ps("cells", None, None),   # probe starts
+            Ps("cells", None, None),   # probe lengths
+        ),
+        out_specs=(
+            Ps("cells", None, None, None),
+            Ps("cells", None, None, None),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(f)
+
+
+def sharded_ivf_knn(
+    Z,
+    mesh,
+    k: int = 20,
+    metric: str = "euclidean",
+    n_clusters=None,
+    n_probe: int = 8,
+    kmeans_iters: int = 8,
+    block_queries: int = 1024,
+    seed: int = 0,
+):
+    """Multi-chip IVF approximate kNN (single-device counterpart
+    ops/ivf.ivf_knn; replaces the reference's NN-descent at scale,
+    muon/_core/preproc.py:452).
+
+    SPMD layout: k-means runs with point rows sharded over "cells"
+    (assignment shard-local against replicated centroids; the Lloyd
+    update is a psum of per-shard segment sums — the classic
+    data-parallel k-means). The search shards the WORK ITEMS (query
+    blocks) over "cells" against the replicated cluster-sorted table —
+    IVF probing is data-dependent gathering, so replicating the ~n·d
+    float table (200MB at 1M×50) costs far less than exchanging probed
+    chunks every block. The host does only the O(n) layout bookkeeping
+    (cluster sort + work-item construction), identical to the
+    single-device path (shared code: ops/ivf.build_ivf_layout).
+
+    Returns (indices (n, k+1), dists (n, k+1)) host arrays, self in
+    column 0 — the ops.knn.knn convention."""
+    jax, jnp, _ = _jax()
+    from ..ops.ivf import build_ivf_layout
+
+    Z = np.asarray(Z, np.float32)
+    n, d = Z.shape
+    k = min(k, n - 1)
+    if metric in ("cosine", "correlation"):
+        Zc = Z - Z.mean(axis=1, keepdims=True) if metric == "correlation" else Z
+        norms = np.linalg.norm(Zc, axis=1, keepdims=True)
+        Z = Zc / np.where(norms == 0, 1.0, norms)
+        metric = "cosine"
+    elif metric in ("euclidean", "l2", "sqeuclidean"):
+        metric = "euclidean" if metric != "sqeuclidean" else "sqeuclidean"
+    else:
+        raise NotImplementedError(f"metric {metric!r} not supported by IVF")
+
+    P = _cells_dim(mesh)
+    C = n_clusters or int(2 ** round(np.log2(max(np.sqrt(n), 16))))
+    C = min(C, max(16, n // 64))
+    C = max(1, min(C, n))
+    rows_per_shard = -(-n // P)
+    blk = max(64, min(8192, (1 << 27) // max(C * 4, 1), rows_per_shard))
+    R = -(-rows_per_shard // blk) * blk  # multiple of the scan block
+    n_pad = R * P
+    Xp = np.zeros((n_pad, d), np.float32)
+    Xp[:n] = Z
+    valid = np.zeros(n_pad, bool)
+    valid[:n] = True
+
+    sh3 = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("cells", None, None)
+    )
+    sh2 = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("cells", None)
+    )
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    Xj = jax.device_put(jnp.asarray(Xp.reshape(P, R, d)), sh3)
+    vj = jax.device_put(jnp.asarray(valid.reshape(P, R)), sh2)
+    rng = np.random.default_rng(seed)
+    cent0 = jax.device_put(
+        jnp.asarray(Z[rng.choice(n, size=C, replace=False)]), rep
+    )
+
+    cent, assign = _ivf_kmeans_fn(mesh, R, d, C, int(kmeans_iters), blk)(
+        Xj, vj, cent0
+    )
+    a_np = np.asarray(assign).reshape(n_pad)[:n]
+
+    # ---- host layout (shared with the single-device path) ----
+    order, qids, probe_pos, probe_cnt, L = build_ivf_layout(
+        a_np, np.asarray(cent), C, n_probe, block_queries
+    )
+
+    # shard the work items over "cells"
+    I, QB = qids.shape
+    P_probe = probe_pos.shape[1]
+    I_loc = -(-I // P)
+    I_pad = I_loc * P
+
+    def pad_items(A, fill):
+        out = np.full((I_pad,) + A.shape[1:], fill, A.dtype)
+        out[:I] = A
+        return out
+
+    qids_p = pad_items(qids, -1)
+    ppos_p = pad_items(probe_pos, -1)
+    pcnt_p = pad_items(probe_cnt, 0)
+
+    Xs = jax.device_put(jnp.asarray(Z[order]), rep)
+    qj = jax.device_put(jnp.asarray(qids_p.reshape(P, I_loc, QB)), sh3)
+    pj = jax.device_put(jnp.asarray(ppos_p.reshape(P, I_loc, P_probe)), sh3)
+    cj = jax.device_put(jnp.asarray(pcnt_p.reshape(P, I_loc, P_probe)), sh3)
+
+    pos, dvals = _ivf_search_fn(
+        mesh, I_loc, QB, P_probe, int(k), int(L), metric
+    )(Xs, qj, pj, cj)
+
+    # scatter item results back to original row order (host); padded
+    # work items carry qflat=-1 and are dropped by the keep mask
+    pos = np.asarray(pos).reshape(-1, k + 1)
+    dvals = np.asarray(dvals).reshape(-1, k + 1)
+    qflat = qids_p.reshape(-1)
+    keep = qflat >= 0
+    idx_out = np.empty((n, k + 1), np.int32)
+    d_out = np.empty((n, k + 1), np.float32)
+    orig_rows = order[qflat[keep]]
+    src = order[pos[keep]]
+    dk = dvals[keep]
+    src[dk == np.inf] = -1
+    idx_out[orig_rows] = src
+    d_out[orig_rows] = dk
+    d_out[:, 0] = 0.0  # self
+    if metric == "euclidean":
+        d_out[:, 1:] = np.sqrt(np.maximum(d_out[:, 1:], 0.0))
+    return idx_out, d_out
 
 
 @lru_cache(maxsize=None)

@@ -483,3 +483,56 @@ class TestPublicAPIMesh:
 
         assert md_mesh.obsm["X_mofa"].shape == (n, 4)
         assert np.isfinite(md_mesh.obsm["X_mofa"]).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestShardedIVF:
+    def test_sharded_ivf_recall_200k(self):
+        """VERDICT r3 #4 done-criterion: sharded IVF kNN (k-means with
+        psum'd Lloyd updates, work items sharded over "cells") reaches
+        the single-device IVF's recall on clustered data at ≥200k rows.
+        Recall is measured against exact brute force on a 256-row query
+        sample (full exact kNN at 200k is O(n²))."""
+        from scipy.spatial.distance import cdist
+
+        from muon_tpu.ops.ivf import ivf_knn
+        from muon_tpu.parallel import make_mesh, sharded_ivf_knn
+
+        rng = np.random.default_rng(0)
+        n, d, ncl, k = 200_000, 8, 50, 15
+        cents = rng.normal(size=(ncl, d)).astype(np.float32) * 3
+        lab = rng.integers(0, ncl, n)
+        X = (cents[lab] + 0.4 * rng.normal(size=(n, d))).astype(np.float32)
+
+        mesh = make_mesh(8, feat=1)
+        I_sh, D_sh = sharded_ivf_knn(X, mesh, k=k, seed=0)
+        I_sd, D_sd = ivf_knn(X, k=k, seed=0)
+        I_sd, D_sd = np.asarray(I_sd), np.asarray(D_sd)
+
+        assert I_sh.shape == (n, k + 1)
+        np.testing.assert_array_equal(I_sh[:, 0], np.arange(n))
+
+        sample = rng.choice(n, 256, replace=False)
+        Dex = cdist(X[sample], X)
+        recalls = {}
+        for name, I in (("sharded", I_sh), ("single", I_sd)):
+            hits = 0
+            for si, row in enumerate(sample):
+                truth = set(np.argsort(Dex[si])[1 : k + 1])
+                hits += len(truth & set(I[row, 1:]))
+            recalls[name] = hits / (len(sample) * k)
+        assert recalls["sharded"] >= recalls["single"] - 0.01, recalls
+        assert recalls["sharded"] > 0.9, recalls
+
+    def test_sharded_ivf_small_n(self):
+        """Tiny inputs (fewer rows than the scan block) still work — the
+        dryrun chain runs at n=96."""
+        from muon_tpu.parallel import make_mesh, sharded_ivf_knn
+
+        rng = np.random.default_rng(1)
+        X = rng.normal(size=(96, 6)).astype(np.float32)
+        mesh = make_mesh(8, feat=1)
+        I, D = sharded_ivf_knn(X, mesh, k=5)
+        assert I.shape == (96, 6)
+        np.testing.assert_array_equal(I[:, 0], np.arange(96))
+        assert np.isfinite(D).all()
