@@ -603,16 +603,17 @@ def wnn_neighbors(
     def _load_mod(mod):
         if mod in NI_dev:
             return
-        dm = mdata.mod[mod].obsp[
-            neighbors_params[mod]["distances_key"]
-        ].tocsr()
-        NI, nnd = _neighbor_index_matrix(dm)
-        NIs[mod], nnds[mod] = NI, nnd
-        NI_dev[mod] = jnp.asarray(NI)
-        nnd_dev[mod] = jnp.asarray(nnd)
-        from .device import dense_to_device
+        with stage(f"wnn/upload[{mod}]"):
+            dm = mdata.mod[mod].obsp[
+                neighbors_params[mod]["distances_key"]
+            ].tocsr()
+            NI, nnd = _neighbor_index_matrix(dm)
+            NIs[mod], nnds[mod] = NI, nnd
+            NI_dev[mod] = jnp.asarray(NI)
+            nnd_dev[mod] = jnp.asarray(nnd)
+            from .device import dense_to_device
 
-        rep_dev[mod] = dense_to_device(reps[mod], dtype=jnp.float32)
+            rep_dev[mod] = dense_to_device(reps[mod], dtype=jnp.float32)
 
     ratios = np.full((n_global, n_mods), -np.inf, dtype=np.float64)
     for i1, mod1 in enumerate(modalities):
@@ -779,10 +780,13 @@ def wnn_neighbors(
             scores_j = None
         else:
             # bf16 on the wire: halves the 1M×ΣD upload through the tunnel
-            cat16 = jnp.asarray(cat.astype(ml_dtypes.bfloat16))
-            del cat
+            with stage("wnn/upload[fusion]"):
+                cat16 = jnp.asarray(cat.astype(ml_dtypes.bfloat16))
+                del cat
+                aux_j = jnp.asarray(aux)
+                sigw_j = jnp.asarray(sigw)
             scores_j = _fusion_all_fn()(
-                cand_p, cat16, jnp.asarray(aux), jnp.asarray(sigw),
+                cand_p, cat16, aux_j, sigw_j,
                 block, tuple(dims_list), fusion_metric,
             )
             del cat16

@@ -174,7 +174,8 @@ class TestMofaParityMultiGroup:
         rotational symmetry, so ARD/spike-slab locks onto the generative
         axes and per-factor |cosine| after Hungarian alignment is a
         meaningful cross-engine invariant (mofapy2 recovers the same
-        axes). Measured here: [0.998, 0.998, 0.966, 0.940, 0.992]."""
+        axes). Measured here: [0.998, 0.998, 0.966, 0.940, 0.992];
+        gate 0.93 per VERDICT r3 #7 (measured floor 0.94)."""
         from scipy.optimize import linear_sum_assignment
 
         rng = np.random.default_rng(7)
@@ -205,7 +206,7 @@ class TestMofaParityMultiGroup:
         C = np.abs(Xn.T @ Rn)
         ri, ci = linear_sum_assignment(-C)
         per_factor = C[ri, ci]
-        assert (per_factor >= 0.9).all(), per_factor.round(4)
+        assert (per_factor >= 0.93).all(), per_factor.round(4)
 
     def test_golden_positions(self, trained):
         """The two mofapy2 golden positions: exact values are not
