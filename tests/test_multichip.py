@@ -536,3 +536,67 @@ class TestShardedIVF:
         assert I.shape == (96, 6)
         np.testing.assert_array_equal(I[:, 0], np.arange(96))
         assert np.isfinite(D).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestRingKNN:
+    def test_ring_knn_16dev_no_db_replication(self):
+        """VERDICT r3 #9 done-criterion: 16-device mesh, per-device DB
+        memory ≤ 2/16 of the full table. Structural proof: the DB enters
+        cells-sharded (verified via addressable shards) and the compiled
+        HLO moves blocks with collective-permute only — no all-gather
+        materializes the full table on any device. Runs in a subprocess
+        (this process's backend is pinned to 8 devices by conftest)."""
+        import os
+        import subprocess
+        import sys
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        code = """
+import jax
+jax.config.update('jax_num_cpu_devices', 16)
+jax.config.update('jax_platforms', 'cpu')
+import sys; sys.path.insert(0, %r)
+import numpy as np
+import jax.numpy as jnp
+from muon_tpu.parallel import make_mesh, sharded_knn
+from muon_tpu.parallel.pipeline import _knn_ring_fn
+
+n, dim, k, P = 1600, 12, 10, 16
+rng = np.random.default_rng(0)
+Z = rng.normal(size=(n, dim)).astype(np.float32) * 3
+mesh = make_mesh(16, feat=1)
+
+# correctness vs single-device exact kNN
+from muon_tpu.ops.knn import knn
+D, I = sharded_knn(Z, mesh, k=k)
+i_ref, d_ref = knn(Z, k=k)
+i_ref = np.asarray(i_ref)
+rec = np.mean([len(set(np.asarray(I)[i,1:]) & set(i_ref[i,1:]))/k
+               for i in range(n)])
+assert rec > 0.999, rec
+
+# structural memory proof: DB input is cells-sharded (one (1,R,dim)
+# block per device = 1/16 of the table) ...
+R = n // P
+sh3 = jax.sharding.NamedSharding(
+    mesh, jax.sharding.PartitionSpec('cells', None, None))
+DBs = jax.device_put(jnp.asarray(Z.reshape(P, R, dim)), sh3)
+shard_shapes = {s.data.shape for s in DBs.addressable_shards}
+assert shard_shapes == {(1, R, dim)}, shard_shapes
+
+# ... and the compiled program never all-gathers it: blocks move with
+# collective-permute (the ring), nothing else
+f = _knn_ring_fn(mesh, R, n, k, 100, P)
+hlo = f.lower(DBs, DBs).compile().as_text()
+assert 'collective-permute' in hlo
+assert 'all-gather' not in hlo, 'DB must not be re-replicated'
+print('RING_KNN_16DEV_OK')
+"""
+        env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+        out = subprocess.run(
+            [sys.executable, "-c", code % root], env=env,
+            capture_output=True, text=True, timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert "RING_KNN_16DEV_OK" in out.stdout, out.stdout
