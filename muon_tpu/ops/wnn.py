@@ -625,11 +625,12 @@ def wnn_neighbors(
         n_loc = rep.shape[0]
         block = max(32, min(1024, (1 << 26) // max(1, NI.shape[1] ** 2 * 4)))
         block = min(block, n_loc)
-        sig_dev[mod1] = _bandwidth_fn()(
-            NI_dev[mod1], rep_dev[mod1], float(n_loc), bbox,
-            min(n_bandwidth_neighbors, max(NI.shape[1], 1)), block,
-        )
-        sigmas[mod1] = np.asarray(sig_dev[mod1])
+        with stage(f"wnn/bandwidth[{mod1}]"):
+            sig_dev[mod1] = _bandwidth_fn()(
+                NI_dev[mod1], rep_dev[mod1], float(n_loc), bbox,
+                min(n_bandwidth_neighbors, max(NI.shape[1], 1)), block,
+            )
+            sigmas[mod1] = np.asarray(sig_dev[mod1])
 
         # thetas/currtheta are indexed by mod1-LOCAL row (explicit rows1
         # scatter, not prefix slicing) so partially-overlapping or permuted
@@ -645,17 +646,18 @@ def wnn_neighbors(
             _load_mod(mod2)
             # mod2-local → mod1-local neighbor remap, applied on device
             conv = g2l[mod1][l2g[mod2]].astype(np.int32)
-            th = np.asarray(
-                _theta_fn()(
-                    rep_dev[mod1],
-                    jnp.asarray(rows1.astype(np.int32)),
-                    jnp.asarray(rows2.astype(np.int32)),
-                    NI_dev[mod2],
-                    jnp.asarray(conv),
-                    nnd_dev[mod1],
-                    sig_dev[mod1],
+            with stage(f"wnn/theta[{mod1}|{mod2}]"):
+                th = np.asarray(
+                    _theta_fn()(
+                        rep_dev[mod1],
+                        jnp.asarray(rows1.astype(np.int32)),
+                        jnp.asarray(rows2.astype(np.int32)),
+                        NI_dev[mod2],
+                        jnp.asarray(conv),
+                        nnd_dev[mod1],
+                        sig_dev[mod1],
+                    )
                 )
-            )
             if i1 == i2:
                 currtheta[rows1] = th
             else:
