@@ -359,10 +359,31 @@ def main():
 
     with timed("wnn"):
         mu.pp.neighbors(mdata)
-    with timed("leiden"):
+
+    # leiden and UMAP both consume the WNN graph but use DISJOINT hardware:
+    # leiden is pure host work (C++ local move + numpy aggregation, zero
+    # jax), while UMAP's wall time is the device SGD with the host merely
+    # dispatching chunks. Running leiden in a worker thread hides its
+    # ~100s at 1M cells behind the SGD (ctypes/numpy release the GIL; the
+    # stage timers skip the device-queue flush off the main thread so the
+    # leiden clock never waits behind queued SGD programs).
+    import threading
+
+    leiden_wall = {}
+
+    def _leiden_job():
+        t0 = time.perf_counter()
         mu.tl.leiden(mdata, resolution=1.0)
-    with timed("umap200"):
+        leiden_wall["s"] = time.perf_counter() - t0
+
+    with timed("leiden+umap(overlapped)"):
+        th = threading.Thread(target=_leiden_job)
+        th.start()
+        t0u = time.perf_counter()
         mu.tl.umap(mdata)
+        _stage_times["umap200(thread)"] = round(time.perf_counter() - t0u, 2)
+        th.join()
+    _stage_times["leiden(thread)"] = round(leiden_wall["s"], 2)
 
     total = time.perf_counter() - t_all0
 

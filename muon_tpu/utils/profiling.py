@@ -51,13 +51,20 @@ def stage(name: str, force: bool = False):
         yield
     finally:
         try:
-            import jax
-            import jax.numpy as jnp
+            import threading
 
-            # devices execute queued programs in order, so forcing a fresh
-            # scalar to host drains the queue — block_until_ready does NOT
-            # reliably block through tunneled/remote devices (CLAUDE.md)
-            float(jnp.zeros(()).sum())
+            if threading.current_thread() is threading.main_thread():
+                import jax
+                import jax.numpy as jnp
+
+                # devices execute queued programs in order, so forcing a
+                # fresh scalar to host drains the queue — block_until_ready
+                # does NOT reliably block through tunneled/remote devices
+                # (CLAUDE.md). Only the MAIN thread flushes: a host-only
+                # stage timed from a worker thread (e.g. leiden overlapped
+                # with the UMAP SGD) must not wait behind another thread's
+                # queued device programs.
+                float(jnp.zeros(()).sum())
         except Exception:
             pass
         dt = time.perf_counter() - t0

@@ -285,6 +285,33 @@ class TestIvfKnn:
         idx, dists = knn(X, 8, approx=True, method="ivf")
         assert idx.shape == (1600, 9)
 
+    def test_partition_cache_reuse_and_no_false_hit(self):
+        # the multiome pipeline searches the same rep twice (k=20 neighbor
+        # graph, then k=200 WNN candidate pool); the k-means partition is
+        # cached by value fingerprint and must (a) be reused across k, (b)
+        # never alias different data
+        from muon_tpu.ops import ivf
+
+        ivf._PARTITION_CACHE.clear()
+        X, _ = clustered_data(n_per=800, n_clusters=5, d=10, seed=11)
+        idx1, _ = ivf.ivf_knn(X, 10, n_clusters=32)
+        assert len(ivf._PARTITION_CACHE) == 1
+        key1, part1 = next(iter(ivf._PARTITION_CACHE.items()))
+        idx2, _ = ivf.ivf_knn(X, 20, n_clusters=32)  # different k, same data
+        # same partition object reused (no second k-means run)
+        assert next(iter(ivf._PARTITION_CACHE.values()))[1] is part1[1]
+        # k=20 result must contain the k=10 neighbors (same partition,
+        # deterministic search)
+        overlap = np.mean([
+            len(set(idx1[i]) & set(idx2[i])) / idx1.shape[1]
+            for i in range(X.shape[0])
+        ])
+        assert overlap > 0.99, overlap
+        Y = X + 1.7  # different data → different fingerprint
+        ivf.ivf_knn(Y, 10, n_clusters=32)
+        keys = list(ivf._PARTITION_CACHE)
+        assert len(keys) == 2 and keys[0] == key1
+
     def test_device_out_matches_host(self):
         # device-resident scatter-back must agree exactly with the host
         # numpy path (the d2h-free route the WNN candidate stage takes)
