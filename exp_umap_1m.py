@@ -70,16 +70,16 @@ def main():
 
     def run_bucketed(tag):
         t0 = time.perf_counter()
-        strides, heads_bs, tails_bs, eps_bs, eons_bs = _build_buckets(
-            heads, tails, eps, n, n_epochs
-        )
+        (strides, heads_bs, tails_bs, eps_bs, eons_bs, starts_bs,
+         ends_bs) = _build_buckets(heads, tails, eps, n, n_epochs)
         slots = sum(int(t.size) for t in tails_bs)
         print(f"[{tag}] layout {time.perf_counter()-t0:.1f}s "
               f"buckets={len(strides)} strides={strides} "
               f"slots={slots/1e6:.1f}M",
               flush=True)
         f = _optimize_layout_bucketed_fn()
-        args = (tuple(tails_bs), tuple(heads_bs), tuple(eps_bs))
+        args = (tuple(tails_bs), tuple(heads_bs), tuple(eps_bs),
+                tuple(starts_bs), tuple(ends_bs))
         st = (jnp.asarray(emb), tuple(eons_bs), key)
         t0 = time.perf_counter()
         st = f(st[0], st[1], *args, dc_exp_j, 0.0, 8, n_epochs,
@@ -96,20 +96,26 @@ def main():
               f"-> 200ep = {dt/8*200:.0f}s", flush=True)
 
     def run_flat(tag):
+        from muon_tpu.ops.umap import _row_bounds
+
         f = _optimize_fn()
         eps_j = jnp.asarray(eps)
         hj, tj = jnp.asarray(heads), jnp.asarray(tails)
+        hs, he = _row_bounds(heads, n)
+        hs_j, he_j = jnp.asarray(hs), jnp.asarray(he)
         dummy = jnp.zeros(1, jnp.int32)
         st = (jnp.asarray(emb), eps_j, key)
         t0 = time.perf_counter()
-        st = f(st[0], st[1], hj, tj, eps_j, 0.0, 3, n_epochs,
-               a, b, 1.0, 1.0, 5, st[2], True, True, dummy, dummy)
+        st = f(st[0], st[1], hj, tj, eps_j, hs_j, he_j, dummy, dummy,
+               0.0, 3, n_epochs,
+               a, b, 1.0, 1.0, 5, st[2], True, True, dummy)
         sync(st[0])
         print(f"[{tag}] warm(3ep,+compile) {time.perf_counter()-t0:.1f}s",
               flush=True)
         t0 = time.perf_counter()
-        st = f(st[0], st[1], hj, tj, eps_j, 3.0, 3, n_epochs,
-               a, b, 1.0, 1.0, 5, st[2], True, True, dummy, dummy)
+        st = f(st[0], st[1], hj, tj, eps_j, hs_j, he_j, dummy, dummy,
+               3.0, 3, n_epochs,
+               a, b, 1.0, 1.0, 5, st[2], True, True, dummy)
         sync(st[0])
         dt = time.perf_counter() - t0
         print(f"[{tag}] 3 epochs warm: {dt:.2f}s = {dt/3*1000:.0f}ms/epoch "

@@ -99,6 +99,32 @@ def spectral_init(graph: sp.csr_matrix, n_components: int, seed: int = 0):
     return emb.astype(np.float32)
 
 
+def _row_bounds(heads_sorted, n):
+    """Per-vertex [start, end) into a head-SORTED edge list — the index
+    pairs for the cumsum-diff segment reduction (see _segsum_sorted)."""
+    starts = np.searchsorted(heads_sorted, np.arange(n)).astype(np.int32)
+    ends = np.searchsorted(
+        heads_sorted, np.arange(n), side="right"
+    ).astype(np.int32)
+    return starts, ends
+
+
+def _segsum_sorted(jnp, g, starts, ends):
+    """Sorted-segment sum as prefix-sum + boundary difference.
+
+    ``jax.ops.segment_sum`` over a (E, 2) array lowers to a layout that
+    fills 2 of 128 lanes — measured 1355ms at E=16M on v5e, vs 62ms for
+    cumsum + two boundary gathers (exactly the same result up to f32
+    prefix-sum rounding: max abs err 9e-4 on N(0,1) data at 16M rows,
+    4e-5 relative — noise against clipped, annealed SGD gradients).
+    Requires rows grouped by segment (heads sorted), which the edge
+    layout already guarantees."""
+    cs = jnp.cumsum(g, axis=0)
+    zero = jnp.zeros((1,) + g.shape[1:], cs.dtype)
+    cs = jnp.concatenate([zero, cs], axis=0)
+    return cs[ends] - cs[starts]
+
+
 def _build_buckets(heads, tails, epochs_per_sample, n, n_epochs):
     """Bucket edges by ⌊log2(eps)⌋ into FLAT per-bucket edge lists;
     bucket b is processed only every 2^b epochs (see
@@ -120,8 +146,9 @@ def _build_buckets(heads, tails, epochs_per_sample, n, n_epochs):
     bucket (pad edges: head n−1, eps ∞ → never due, zero gradient) so the
     kernel compiles once per size class, not once per dataset.
 
-    Returns (strides, heads_bs, tails_bs, eps_bs, eons_bs) lists of
-    device arrays."""
+    Returns (strides, heads_bs, tails_bs, eps_bs, eons_bs, starts_bs,
+    ends_bs) lists of device arrays; starts/ends are the per-vertex row
+    bounds for the cumsum-diff reduction (_segsum_sorted)."""
     _, jnp = _jax()
     E = len(heads)
     max_exp = (
@@ -138,6 +165,7 @@ def _build_buckets(heads, tails, epochs_per_sample, n, n_epochs):
         0, max_exp,
     ).astype(np.int64)
     strides, heads_bs, tails_bs, eps_bs, eons_bs = [], [], [], [], []
+    starts_bs, ends_bs = [], []
     for bi in range(max_exp + 1):
         sel = bid == bi
         if not sel.any() and bi > 0:
@@ -157,7 +185,11 @@ def _build_buckets(heads, tails, epochs_per_sample, n, n_epochs):
         tails_bs.append(jnp.asarray(tt.astype(np.int32)))
         eps_bs.append(e_j)
         eons_bs.append(e_j)  # eons starts at eps (first due at t=eps)
-    return strides, heads_bs, tails_bs, eps_bs, eons_bs
+        ss, ee_b = _row_bounds(hh, n)
+        starts_bs.append(jnp.asarray(ss))
+        ends_bs.append(jnp.asarray(ee_b))
+    return (strides, heads_bs, tails_bs, eps_bs, eons_bs, starts_bs,
+            ends_bs)
 
 
 @lru_cache(maxsize=None)
@@ -194,13 +226,14 @@ def _optimize_layout_bucketed_fn():
 
     @partial(jax.jit, static_argnames=("n_run", "n_epochs", "neg_rate",
                                        "strides"))
-    def f(emb, eons_bs, tails_bs, heads_bs, eps_bs, dc_exp, epoch0,
-          n_run, n_epochs, a, b, gamma, init_alpha, neg_rate, key,
-          strides):
+    def f(emb, eons_bs, tails_bs, heads_bs, eps_bs, starts_bs, ends_bs,
+          dc_exp, epoch0, n_run, n_epochs, a, b, gamma, init_alpha,
+          neg_rate, key, strides):
         n = emb.shape[0]
         B = len(strides)
 
-        def bucket_pass(emb, eons_l, tails_l, heads_l, eps_l, epoch):
+        def bucket_pass(emb, eons_l, tails_l, heads_l, starts_l, ends_l,
+                        eps_l, epoch):
             due = eons_l <= (epoch + 1.0)            # (E_b,)
             h = emb[heads_l]
             t = emb[tails_l]
@@ -212,9 +245,9 @@ def _optimize_layout_bucketed_fn():
             grad_coeff = jnp.where(d2 > 0, grad_coeff, 0.0)
             g = jnp.clip(grad_coeff[..., None] * diff, -4.0, 4.0)
             g = jnp.where(due[..., None], g, 0.0)
-            upd = jax.ops.segment_sum(
-                g, heads_l, num_segments=n, indices_are_sorted=True,
-            )
+            # heads sorted → cumsum-diff reduction (22x the (E,2)
+            # segment_sum on v5e, see _segsum_sorted)
+            upd = _segsum_sorted(jnp, g, starts_l, ends_l)
             eons_l = jnp.where(due, eons_l + eps_l, eons_l)
             return upd, eons_l
 
@@ -232,7 +265,7 @@ def _optimize_layout_bucketed_fn():
                 def run(eons_l=eons_l, bi=bi):
                     return bucket_pass(
                         emb, eons_l, tails_bs[bi], heads_bs[bi],
-                        eps_bs[bi], epoch,
+                        starts_bs[bi], ends_bs[bi], eps_bs[bi], epoch,
                     )
 
                 def skip(eons_l=eons_l):
@@ -283,9 +316,9 @@ def _optimize_fn():
 
     @partial(jax.jit, static_argnames=("n_run", "n_epochs", "neg_rate",
                                        "move_other", "symmetric"))
-    def f(emb, eons, heads, tails, epochs_per_sample, epoch0, n_run,
-          n_epochs, a, b, gamma, init_alpha, neg_rate, key, move_other,
-          symmetric, tsort, tseg):
+    def f(emb, eons, heads, tails, epochs_per_sample, hstarts, hends,
+          tstarts, tends, epoch0, n_run, n_epochs, a, b, gamma,
+          init_alpha, neg_rate, key, move_other, symmetric, tsort):
         """One chunk of SGD epochs.
 
         Edges arrive PRE-SORTED BY HEAD, so the attractive accumulation is
@@ -329,16 +362,12 @@ def _optimize_fn():
             g = jnp.clip(grad_coeff[:, None] * diff, -4.0, 4.0)
             g = jnp.where(due[:, None], g, 0.0)
 
-            upd_h = jax.ops.segment_sum(
-                g, heads, num_segments=n, indices_are_sorted=True,
-            )
+            # heads sorted → cumsum-diff reductions (see _segsum_sorted)
+            upd_h = _segsum_sorted(jnp, g, hstarts, hends)
 
             # per-vertex due-edge count (how many negative-sample rounds
             # this vertex would have run in umap-learn's per-edge scheme)
-            dc = jax.ops.segment_sum(
-                due.astype(emb.dtype), heads, num_segments=n,
-                indices_are_sorted=True,
-            )
+            dc = _segsum_sorted(jnp, due.astype(emb.dtype), hstarts, hends)
             key, sub = jax.random.split(key)
             negs = jax.random.randint(sub, (n, neg_rate), 0, n)
             # flatten: a 2D-indexed gather from a narrow table lowered to
@@ -362,10 +391,7 @@ def _optimize_fn():
             if move_other and symmetric:
                 emb = emb + alpha * (2.0 * upd_h + upd_neg)
             elif move_other:
-                upd_t = jax.ops.segment_sum(
-                    g[tsort], tseg, num_segments=n,
-                    indices_are_sorted=True,
-                )
+                upd_t = _segsum_sorted(jnp, g[tsort], tstarts, tends)
                 emb = emb + alpha * (upd_h + upd_neg) - alpha * upd_t
             else:
                 emb = emb + alpha * (upd_h + upd_neg)
@@ -468,7 +494,8 @@ def umap_embed(
         # gathered on their stride epochs.
         stage_build = stage("umap/edge_layout(host)")
         stage_build.__enter__()
-        strides, heads_bs, tails_bs, eps_bs, eons_bs = _build_buckets(
+        (strides, heads_bs, tails_bs, eps_bs, eons_bs, starts_bs,
+         ends_bs) = _build_buckets(
             heads, tails, epochs_per_sample, n, n_epochs
         )
         # expected per-epoch due rate per vertex — the repulsion scale
@@ -479,6 +506,7 @@ def umap_embed(
         heads_bs, tails_bs, eps_bs = (
             tuple(heads_bs), tuple(tails_bs), tuple(eps_bs)
         )
+        starts_bs, ends_bs = tuple(starts_bs), tuple(ends_bs)
         stage_build.__exit__(None, None, None)
         chunk = max(1, min(25, int(3.0e8 // E_eff)))
         with stage(f"umap/sgd_{n_epochs}epochs"):
@@ -486,9 +514,10 @@ def umap_embed(
                 n_run = min(chunk, int(n_epochs) - e0)
                 state = f(
                     state[0], state[1], tails_bs, heads_bs, eps_bs,
-                    dc_exp_j, float(e0), int(n_run), int(n_epochs),
-                    float(a), float(b), float(gamma), float(alpha),
-                    int(negative_sample_rate), state[2], tuple(strides),
+                    starts_bs, ends_bs, dc_exp_j, float(e0), int(n_run),
+                    int(n_epochs), float(a), float(b), float(gamma),
+                    float(alpha), int(negative_sample_rate), state[2],
+                    tuple(strides),
                 )
         with stage("umap/download"):
             return np.asarray(state[0])
@@ -499,16 +528,19 @@ def umap_embed(
     eps = jnp.asarray(epochs_per_sample)
     state = (jnp.asarray(emb), eps, key)
     heads_j, tails_j = jnp.asarray(heads), jnp.asarray(tails)
+    hs, he = _row_bounds(heads, n)
     tsort = np.argsort(tails, kind="stable")
+    ts, te = _row_bounds(tails[tsort], n)
     tsort_j = jnp.asarray(tsort.astype(np.int32))
-    tseg_j = jnp.asarray(tails[tsort].astype(np.int32))
+    hs_j, he_j = jnp.asarray(hs), jnp.asarray(he)
+    ts_j, te_j = jnp.asarray(ts), jnp.asarray(te)
     chunk = max(1, min(25, int(1.2e8 // E_eff)))
     for e0 in range(0, int(n_epochs), chunk):
         n_run = min(chunk, int(n_epochs) - e0)
         state = f(
-            state[0], state[1], heads_j, tails_j, eps,
-            float(e0), int(n_run), int(n_epochs), float(a), float(b),
-            float(gamma), float(alpha), int(negative_sample_rate),
-            state[2], True, symmetric, tsort_j, tseg_j,
+            state[0], state[1], heads_j, tails_j, eps, hs_j, he_j,
+            ts_j, te_j, float(e0), int(n_run), int(n_epochs), float(a),
+            float(b), float(gamma), float(alpha),
+            int(negative_sample_rate), state[2], True, symmetric, tsort_j,
         )
     return np.asarray(state[0])
