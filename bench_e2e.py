@@ -349,6 +349,22 @@ def main():
         del Y_rna, Y_atac, res
         gc.collect()
 
+    # MOFA quality gate (VERDICT r4 #3): the factors must actually recover
+    # the planted cluster structure, not merely run for 10s — otherwise an
+    # undertrained model silently pads the headline. Linear-probe R²:
+    # regress one-hot(labels) on [Z, 1] over a subsample; recovered
+    # structure ⇒ most of the between-cluster variance is explained
+    # (reference test pattern: factor recovery, tests/test_muon_tools.py:25-49).
+    Z = np.asarray(mdata.obsm["X_mofa"], dtype=np.float64)
+    sub = np.random.default_rng(1).choice(N, size=min(N, 100_000), replace=False)
+    Zs = np.column_stack([Z[sub], np.ones(len(sub))])
+    Yoh = np.eye(N_CLUSTERS)[labels[sub]]
+    resid = Yoh - Zs @ np.linalg.lstsq(Zs, Yoh, rcond=None)[0]
+    sst = ((Yoh - Yoh.mean(0)) ** 2).sum()
+    mofa_r2 = float(1.0 - (resid**2).sum() / sst)
+    print(f"[quality] MOFA label-probe R2: {mofa_r2:.3f}", flush=True)
+    assert mofa_r2 > 0.5, f"MOFA undertrained: label-probe R2={mofa_r2:.3f}"
+
     # --- neighbors + fusion + clustering + embedding --------------------
     with timed("neighbors.rna"):
         mu.pp.neighbors(rna, n_neighbors=20, use_rep="X_pca")
@@ -372,9 +388,14 @@ def main():
     leiden_wall = {}
 
     def _leiden_job():
+        # exceptions must not vanish into the thread (ADVICE r4): stash
+        # and re-raise on the main thread after join
         t0 = time.perf_counter()
-        mu.tl.leiden(mdata, resolution=1.0)
-        leiden_wall["s"] = time.perf_counter() - t0
+        try:
+            mu.tl.leiden(mdata, resolution=1.0)
+            leiden_wall["s"] = time.perf_counter() - t0
+        except BaseException as e:  # noqa: BLE001
+            leiden_wall["error"] = e
 
     with timed("leiden+umap(overlapped)"):
         th = threading.Thread(target=_leiden_job)
@@ -383,7 +404,9 @@ def main():
         mu.tl.umap(mdata)
         _stage_times["umap200(thread)"] = round(time.perf_counter() - t0u, 2)
         th.join()
-    _stage_times["leiden(thread)"] = round(leiden_wall["s"], 2)
+    if "error" in leiden_wall:
+        raise RuntimeError("leiden worker thread failed") from leiden_wall["error"]
+    _stage_times["leiden(thread)"] = round(leiden_wall.get("s", float("nan")), 2)
 
     total = time.perf_counter() - t_all0
 
@@ -439,6 +462,7 @@ def main():
         ),
         "stages": _stage_times,
         "leiden_ari": round(ari, 3),
+        "mofa_label_r2": round(mofa_r2, 3),
     }
     print(json.dumps(out), flush=True)
 

@@ -52,12 +52,31 @@ _PARTITION_CACHE_MAX = 4
 
 
 def _partition_key(jnp, X, C, iters, seed):
+    """Value fingerprint of X for the partition cache.
+
+    ADVICE r4 (medium): a single strided sum could alias after edits in
+    unsampled positions. The key now mixes (a) two sample sets at coprime
+    strides/offsets, (b) FULL-array min/max/sum reductions (one cheap
+    device pass — every element participates, so any single-element edit
+    changes the key), and (c) the dtype. All six scalars come back in one
+    d2h transfer."""
     n, d = X.shape
-    stride = max(1, (n * d) // 4096)
-    flat = X.ravel()[::stride]
-    s1 = float(flat.sum())
-    s2 = float(jnp.abs(flat).sum())
-    return (int(n), int(d), int(C), int(iters), int(seed), s1, s2)
+    flat = X.ravel()
+    sa = flat[:: max(1, (n * d) // 4096)]
+    sb = flat[1 :: max(1, (n * d) // 2731)]
+    stats = jnp.stack(
+        [
+            sa.sum(),
+            jnp.abs(sa).sum(),
+            sb.sum(),
+            (sb.astype(jnp.float32) ** 2).sum(),
+            flat.min().astype(jnp.float32),
+            flat.max().astype(jnp.float32),
+            flat.astype(jnp.float32).sum(),
+        ]
+    )
+    vals = tuple(round(float(v), 6) for v in np.asarray(stats))
+    return (int(n), int(d), str(X.dtype), int(C), int(iters), int(seed)) + vals
 
 
 @lru_cache(maxsize=None)
@@ -296,6 +315,7 @@ def ivf_knn(
     block_queries: int = 1024,
     seed: int = 0,
     device_out: bool = False,
+    use_partition_cache: bool = True,
 ):
     """Approximate kNN via a device IVF index. Same return convention as
     ops.knn.knn: (indices (n, k+1), dists (n, k+1)), self in column 0.
@@ -320,7 +340,7 @@ def ivf_knn(
     C = min(C, max(16, n // 64))
     C = max(1, min(C, n))  # rng.choice(n, C, replace=False) needs C <= n
     pkey = _partition_key(jnp, X, C, kmeans_iters, seed)
-    hit = _PARTITION_CACHE.pop(pkey, None)
+    hit = _PARTITION_CACHE.pop(pkey, None) if use_partition_cache else None
     if hit is not None:
         cent_np, assign_np = hit
     else:

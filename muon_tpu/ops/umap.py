@@ -366,8 +366,13 @@ def _optimize_fn():
             upd_h = _segsum_sorted(jnp, g, hstarts, hends)
 
             # per-vertex due-edge count (how many negative-sample rounds
-            # this vertex would have run in umap-learn's per-edge scheme)
-            dc = _segsum_sorted(jnp, due.astype(emb.dtype), hstarts, hends)
+            # this vertex would have run in umap-learn's per-edge scheme).
+            # int32 prefix sum: exact at any edge count, unlike f32 cumsum
+            # which loses integer precision past 2^24 (~16.8M) cumulative
+            # edges (ADVICE r4)
+            dc = _segsum_sorted(
+                jnp, due.astype(jnp.int32), hstarts, hends
+            ).astype(emb.dtype)
             key, sub = jax.random.split(key)
             negs = jax.random.randint(sub, (n, neg_rate), 0, n)
             # flatten: a 2D-indexed gather from a narrow table lowered to

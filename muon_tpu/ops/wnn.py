@@ -810,12 +810,24 @@ def wnn_neighbors(
     # 20M-entry lexsort is redundant — one (n, k) column argsort per row
     # (invalid slots pushed to the end) builds sorted-indices CSR directly
     # (~3x faster at 1M×20 on one core)
+    # INVARIANT (ADVICE r4): this fast path requires per-row-UNIQUE
+    # candidate columns — guaranteed upstream by _cand_dedup_fn (the old
+    # COO constructor would instead have summed duplicates). Guarded by
+    # the adjacent-equal check below, which is O(nk) and free next to the
+    # argsort.
     mask = np.isfinite(dist_f) & (idx_f >= 0)
     sort_key = np.where(mask, idx_f, np.iinfo(np.int32).max)
     ordc = np.argsort(sort_key, axis=1, kind="stable")
     idx_s = np.take_along_axis(idx_f, ordc, axis=1)
     dist_s = np.take_along_axis(dist_f, ordc, axis=1)
     mask_s = np.take_along_axis(mask, ordc, axis=1)
+    if (
+        (idx_s[:, 1:] == idx_s[:, :-1]) & mask_s[:, 1:] & mask_s[:, :-1]
+    ).any():
+        raise AssertionError(
+            "wnn finalize: duplicate candidate columns within a row — "
+            "_cand_dedup_fn invariant violated upstream"
+        )
     counts = mask_s.sum(axis=1)
     indptr = np.zeros(n_global + 1, np.int64)
     np.cumsum(counts, out=indptr[1:])

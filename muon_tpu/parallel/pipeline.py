@@ -75,6 +75,29 @@ def _cells_dim(mesh) -> int:
     return int(mesh.shape["cells"])
 
 
+def _put_cells_sharded(arr, sharding, P, tag="array"):
+    """``device_put`` + structural guard (VERDICT r4 #9): the leading axis
+    must actually land split P ways. Value-equality tests cannot catch
+    accidental re-replication (the numbers stay right while every device
+    does full-size work — r3's sharded_knn bug); this check makes it an
+    error at placement time. Only enforced when every shard is addressable
+    (single-controller meshes — all test/dryrun configurations)."""
+    jax, jnp, _ = _jax()
+
+    x = jax.device_put(arr, sharding)
+    shards = x.addressable_shards
+    if P > 1 and len(shards) == P:
+        want = x.shape[0] // P
+        got = {s.data.shape[0] for s in shards}
+        if got != {want}:
+            raise AssertionError(
+                f"{tag}: expected leading dim {want} per shard on a "
+                f"{P}-way cells mesh, got shard dims {got} "
+                f"(input arrived replicated?)"
+            )
+    return x
+
+
 def shard_rows(X, mesh, pad_multiple: int = 8192) -> ShardedCOO:
     """Split a scipy CSR into P contiguous row blocks and place them on the
     mesh ("cells"-sharded, replicated along any other axes).
@@ -595,8 +618,8 @@ def sharded_ivf_knn(
         mesh, jax.sharding.PartitionSpec("cells", None)
     )
     rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
-    Xj = jax.device_put(jnp.asarray(Xp.reshape(P, R, d)), sh3)
-    vj = jax.device_put(jnp.asarray(valid.reshape(P, R)), sh2)
+    Xj = _put_cells_sharded(jnp.asarray(Xp.reshape(P, R, d)), sh3, P, "ivf:X")
+    vj = _put_cells_sharded(jnp.asarray(valid.reshape(P, R)), sh2, P, "ivf:valid")
     rng = np.random.default_rng(seed)
     cent0 = jax.device_put(
         jnp.asarray(Z[rng.choice(n, size=C, replace=False)]), rep
@@ -628,9 +651,15 @@ def sharded_ivf_knn(
     pcnt_p = pad_items(probe_cnt, 0)
 
     Xs = jax.device_put(jnp.asarray(Z[order]), rep)
-    qj = jax.device_put(jnp.asarray(qids_p.reshape(P, I_loc, QB)), sh3)
-    pj = jax.device_put(jnp.asarray(ppos_p.reshape(P, I_loc, P_probe)), sh3)
-    cj = jax.device_put(jnp.asarray(pcnt_p.reshape(P, I_loc, P_probe)), sh3)
+    qj = _put_cells_sharded(
+        jnp.asarray(qids_p.reshape(P, I_loc, QB)), sh3, P, "ivf:qids"
+    )
+    pj = _put_cells_sharded(
+        jnp.asarray(ppos_p.reshape(P, I_loc, P_probe)), sh3, P, "ivf:ppos"
+    )
+    cj = _put_cells_sharded(
+        jnp.asarray(pcnt_p.reshape(P, I_loc, P_probe)), sh3, P, "ivf:pcnt"
+    )
 
     pos, dvals = _ivf_search_fn(
         mesh, I_loc, QB, P_probe, int(k), int(L), metric
@@ -836,11 +865,17 @@ def sharded_umap_embed(
         mesh, jax.sharding.PartitionSpec("cells", None)
     )
     rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
-    heads_j = jax.device_put(jnp.asarray(heads.reshape(P, E_loc)), sh)
-    tails_j = jax.device_put(jnp.asarray(tails.reshape(P, E_loc)), sh)
-    eps_j = jax.device_put(jnp.asarray(eps.reshape(P, E_loc)), sh)
-    starts_j = jax.device_put(jnp.asarray(starts_g), sh)
-    ends_j = jax.device_put(jnp.asarray(ends_g), sh)
+    heads_j = _put_cells_sharded(
+        jnp.asarray(heads.reshape(P, E_loc)), sh, P, "umap:heads"
+    )
+    tails_j = _put_cells_sharded(
+        jnp.asarray(tails.reshape(P, E_loc)), sh, P, "umap:tails"
+    )
+    eps_j = _put_cells_sharded(
+        jnp.asarray(eps.reshape(P, E_loc)), sh, P, "umap:eps"
+    )
+    starts_j = _put_cells_sharded(jnp.asarray(starts_g), sh, P, "umap:starts")
+    ends_j = _put_cells_sharded(jnp.asarray(ends_g), sh, P, "umap:ends")
     eons_j = eps_j
     emb_j = jax.device_put(jnp.asarray(emb_pad), rep)
     dc_j = jax.device_put(jnp.asarray(dc_pad), rep)

@@ -40,9 +40,17 @@ def _enabled() -> bool:
 
 
 @contextmanager
-def stage(name: str, force: bool = False):
-    """Time a pipeline stage (device work flushed before stopping the clock
-    so async dispatch doesn't hide in the next stage)."""
+def stage(name: str, force: bool = False, flush: Optional[bool] = None):
+    """Time a pipeline stage.
+
+    Device work is flushed before stopping the clock so async dispatch
+    doesn't hide in the next stage — but ONLY on the main thread by
+    default: a host-only stage timed from a worker thread (e.g. leiden
+    overlapped with the UMAP SGD) must not wait behind another thread's
+    queued device programs. A worker-thread stage that DOES time device
+    work must pass ``flush=True`` explicitly, or its queued programs go
+    unreported (ADVICE r4). ``flush=False`` skips the drain everywhere
+    (used by callers that flush once per run instead of per stage)."""
     if not (force or _enabled()):
         yield
         return
@@ -53,7 +61,11 @@ def stage(name: str, force: bool = False):
         try:
             import threading
 
-            if threading.current_thread() is threading.main_thread():
+            if flush is None:
+                flush = (
+                    threading.current_thread() is threading.main_thread()
+                )
+            if flush:
                 import jax
                 import jax.numpy as jnp
 

@@ -315,6 +315,33 @@ class TestMultichip:
         emb2 = sharded_umap_embed(conn, mesh, n_epochs=100, random_state=0)
         np.testing.assert_allclose(emb, emb2)
 
+    def test_cells_sharded_guard_trips_on_replication(self):
+        """VERDICT r4 #9: the placement guard used by sharded_ivf_knn /
+        sharded_umap_embed must raise if an input meant to be
+        cells-sharded arrives replicated — value-equality tests alone
+        cannot catch accidental re-replication (every device silently
+        does full-size work). Positive case: a correctly sharded put
+        passes and each device holds exactly 1/P of the leading axis."""
+        import jax
+        import jax.numpy as jnp
+
+        from muon_tpu.parallel import make_mesh
+        from muon_tpu.parallel.pipeline import _put_cells_sharded
+
+        mesh = make_mesh(8, feat=1)
+        P = 8
+        arr = jnp.zeros((P, 16, 4), jnp.float32)
+        sh = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("cells", None, None)
+        )
+        rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+
+        x = _put_cells_sharded(arr, sh, P, "guard-test")
+        assert {s.data.shape for s in x.addressable_shards} == {(1, 16, 4)}
+
+        with pytest.raises(AssertionError, match="replicated"):
+            _put_cells_sharded(arr, rep, P, "guard-test")
+
     def test_sharded_wnn_scores_match_single_device(self):
         """Cells-sharded WNN candidate scoring + top-k returns the same
         neighbors/distances as the single-device fusion kernel (the block
