@@ -90,6 +90,23 @@ t_full = timeit(
     tag="full",
 )
 
+# production kernel with the stride-2 subsampled candidate pool (round 5):
+# time + σ agreement vs the full pool
+t_s2 = timeit(
+    lambda: W._bandwidth_fn()(NI_j, rep_j, float(n), bbox, n_bw, block, 2),
+    tag="stride2",
+)
+sig1 = np.asarray(W._bandwidth_fn()(NI_j, rep_j, float(n), bbox, n_bw, block))
+sig2 = np.asarray(
+    W._bandwidth_fn()(NI_j, rep_j, float(n), bbox, n_bw, block, 2)
+)
+rel = np.abs(sig2 - sig1) / np.maximum(np.abs(sig1), 1e-9)
+print(
+    f"sigma stride2 vs full: corr={np.corrcoef(sig1, sig2)[0,1]:.5f} "
+    f"rel_diff mean={rel.mean():.4f} p99={np.percentile(rel, 99):.4f}",
+    flush=True,
+)
+
 
 # --- ablation variants (kernel body with pieces switched off) --------------
 from functools import lru_cache, partial
@@ -188,14 +205,18 @@ def _ablate_fn(no_jaccard=False, no_sygather=False, no_topk=False,
     return f
 
 
-for tag, kw in [
-    ("ablate_base", {}),
-    ("no_jaccard", dict(no_jaccard=True)),
-    ("no_sygather", dict(no_sygather=True)),
-    ("no_topk", dict(no_topk=True)),
-    ("no_repgather", dict(no_gather=True)),
-    ("gathers_only", dict(no_jaccard=True, no_topk=True)),
-]:
+for tag, kw in (
+    [
+        ("ablate_base", {}),
+        ("no_jaccard", dict(no_jaccard=True)),
+        ("no_sygather", dict(no_sygather=True)),
+        ("no_topk", dict(no_topk=True)),
+        ("no_repgather", dict(no_gather=True)),
+        ("gathers_only", dict(no_jaccard=True, no_topk=True)),
+    ]
+    if os.environ.get("WNN_BW_ABLATE")
+    else []
+):
     timeit(
         lambda kw=kw: _ablate_fn(**kw)(
             NI_j, rep_j, float(n), bbox, n_bw, block

@@ -190,105 +190,143 @@ def _neighbor_index_matrix(dmat: sp.csr_matrix):
     return NI, nnd
 
 
+def _bandwidth_block_math(
+    jax, jnp, NI_b, rep_b, row_b, tables, N_total, bbox_norm, n_bw, n
+):
+    """σ for one row block: mean euclidean distance to the ``n_bw`` cells
+    with the largest Jaccard distance between neighbor sets (tie-break:
+    largest euclidean), among neighbors + neighbors-of-neighbors
+    candidates. Shared by the single-device kernel (_bandwidth_fn) and
+    the cells-sharded form (parallel/pipeline.sharded_wnn_bandwidth) so
+    the two paths cannot drift. ``tables`` = (NI, NI_sub, set_sizes,
+    rep_sq, rep16) — FULL n-sized arrays (replicated under sharding),
+    computed ONCE outside the block scan. NI_sub may be column-SUBSAMPLED
+    (see _bandwidth_tables): the candidate pool then holds kk + kk·s
+    entries instead of kk + kk², cutting the Sy/rep gathers and the
+    Jaccard compare proportionally — the pool was already an approximation
+    of the reference's NN-descent search (muon/_core/preproc.py:452-462),
+    which samples candidates randomly. Validity is derived from the
+    gathered values themselves (pad slots carry −1), not from separate
+    boolean-table gathers — two (b, C, ·) gathers fewer per block."""
+    NI, NI_sub, set_sizes, rep_sq, rep16 = tables
+    block, kk = NI_b.shape
+    s = NI_sub.shape[1]
+
+    NI_b_safe = jnp.where(NI_b < 0, 0, NI_b)
+    # candidates: own neighbors + (subsampled) neighbors-of-neighbors.
+    # Gather the RAW rows: pad entries arrive as −1 and rows reached via
+    # an invalid j are masked below — no separate validity gather.
+    cand_nn = NI_sub[NI_b_safe].reshape(block, kk * s)
+    cand_nn = jnp.where((NI_b < 0).repeat(s, axis=1), -1, cand_nn)
+    cand = jnp.concatenate([NI_b, cand_nn], axis=1)  # (b, C)
+    C = cand.shape[1]
+    cand_safe = jnp.where(cand < 0, 0, cand)
+
+    # jaccard between S_x (b, kk) and S_y (b, C, kk)
+    Sx = jnp.where(NI_b < 0, -2, NI_b)           # pad never matches
+    Sy = NI[cand_safe]                            # (b, C, kk), pad = −1
+    Sy = jnp.where(Sy >= 0, Sy, -3)
+    inter = (Sx[:, None, :, None] == Sy[:, :, None, :]).sum((-1, -2))
+    sx_size = set_sizes[jnp.where(row_b < n, row_b, 0)][:, None]
+    sy_size = set_sizes[cand_safe]
+    union = sx_size + sy_size - inter
+    jac_dist = 1.0 - inter / jnp.maximum(union, 1)
+
+    # euclidean in rep space: ‖q−c‖² = |q|² + |c|² − 2 q·c with the
+    # cross-term as a bf16 MXU einsum and |c|² gathered from the
+    # precomputed global norms (f32 accumulate; ~1e-3 relative
+    # error on distances used only to average a bandwidth)
+    c16 = rep16[cand_safe]                       # (b, C, d) bf16
+    cross = jnp.einsum(
+        "bd,bcd->bc", rep_b.astype(jnp.bfloat16), c16,
+        preferred_element_type=jnp.float32,
+    )
+    qsq = (rep_b * rep_b).sum(-1)[:, None]
+    csq = rep_sq[cand_safe]
+    eucl = jnp.sqrt(jnp.maximum(qsq + csq - 2.0 * cross, 0.0))
+
+    score = (N_total - jac_dist * N_total) + (bbox_norm - eucl) / bbox_norm
+    bad = (
+        (cand < 0)
+        | (cand == row_b[:, None])
+        | (jac_dist >= 1.0)
+    )
+    score = jnp.where(bad, N_total + 1.0, score)
+    # prefer-unique: duplicate candidates must not be picked twice.
+    # Oversample the top-k 4×, then dedup only among the winners —
+    # the full-candidate (b, C, C) pairwise compare this replaces
+    # was ~half the kernel's VPU work at C≈400 (duplicates carry
+    # IDENTICAL scores, so copies sort adjacent and surviving-first
+    # reproduces the full dedup unless >3·n_bw of the leading slots
+    # are duplicates — then σ averages over the unique subset).
+    osz = min(C, 4 * n_bw)
+    _, top_idx = jax.lax.top_k(-score, osz)
+    top_c = jnp.take_along_axis(cand, top_idx, axis=1)
+    top_e = jnp.take_along_axis(eucl, top_idx, axis=1)
+    top_bad = (
+        jnp.take_along_axis(score, top_idx, axis=1) >= N_total + 1.0
+    )
+    eq = top_c[:, None, :] == top_c[:, :, None]
+    tri = jnp.tril(jnp.ones((osz, osz), bool), k=-1)
+    dup = (eq & tri[None]).any(-1)
+    invalid = top_bad | dup
+    keep = (~invalid) & (jnp.cumsum(~invalid, axis=1) <= n_bw)
+    cnt = keep.sum(1)
+    # fall back to plain neighbor distances if no valid candidates
+    sig = jnp.where(
+        cnt > 0,
+        (top_e * keep).sum(1) / jnp.maximum(cnt, 1),
+        eucl[:, :kk].mean(1),
+    )
+    return sig
+
+
+def _bandwidth_tables(jnp, NI, rep, nn_stride=1):
+    """The full-array tables every bandwidth block gathers from: neighbor
+    matrix (raw + clamped/subsampled), validity, set sizes, squared norms,
+    bf16 rep copy — all computed once, outside the per-block scan.
+
+    ``nn_stride`` > 1 strides the columns used for the 2-hop candidate
+    expansion (every ``nn_stride``-th neighbor of each neighbor), shrinking
+    the candidate pool from kk+kk² to kk+kk·⌈kk/stride⌉. The Jaccard sets
+    themselves stay FULL-width — only the pool the σ winners are drawn
+    from is thinned. Measured 2×: Sy gather + compare + rep gather + top-k
+    all scale with the pool (probe exp_wnn_bw.py: 4.07s → ~2.1s per
+    200k-cell modality at stride 2)."""
+    return (
+        NI,
+        NI[:, ::nn_stride],
+        (NI >= 0).sum(axis=1),
+        (rep * rep).sum(axis=1),
+        rep.astype(jnp.bfloat16),
+    )
+
+
+def _auto_nn_stride(kk: int) -> int:
+    """Stride-2 subsampling of the 2-hop pool once neighbor lists are wide
+    enough that ~kk²/2 candidates still oversample the n_bw winners 5×+."""
+    return 2 if kk >= 16 else 1
+
+
 @lru_cache(maxsize=None)
 def _bandwidth_fn():
     jax, jnp = _jax()
 
-    @partial(jax.jit, static_argnames=("n_bw", "block"))
-    def f(NI, rep, N_total, bbox_norm, n_bw, block):
-        """σ per cell: mean euclidean distance to the `n_bw` cells with the
-        largest Jaccard distance between neighbor sets (tie-break: largest
-        euclidean), among neighbors + neighbors-of-neighbors candidates."""
+    @partial(jax.jit, static_argnames=("n_bw", "block", "nn_stride"))
+    def f(NI, rep, N_total, bbox_norm, n_bw, block, nn_stride=1):
         n, kk = NI.shape
-        d = rep.shape[1]
-        NI_safe = jnp.where(NI < 0, 0, NI)
-        valid_ni = NI >= 0
-
         nb = -(-n // block)
         n_pad = nb * block
         NI_p = jnp.pad(NI, ((0, n_pad - n), (0, 0)), constant_values=-1)
         rep_p = jnp.pad(rep, ((0, n_pad - n), (0, 0)))
-
-        set_sizes = valid_ni.sum(axis=1)  # (n,)
-        # global squared norms once: the per-block euclidean then needs only
-        # a bf16 candidate gather + one MXU cross-term instead of
-        # materializing (block, C, d) f32 diffs — the diff form measured
-        # 24s of the 40s warm kernel at 1M cells (ablation in round 2)
-        rep_sq = (rep * rep).sum(axis=1)  # (n,)
-        rep16 = rep.astype(jnp.bfloat16)
+        tables = _bandwidth_tables(jnp, NI, rep, nn_stride)
 
         def body(carry, i):
             sl = lambda A: jax.lax.dynamic_slice_in_dim(A, i * block, block, 0)  # noqa: E731
-            NI_b = sl(NI_p)                      # (b, kk)
-            rep_b = sl(rep_p)                    # (b, d)
             row_b = jnp.arange(block) + i * block
-
-            NI_b_safe = jnp.where(NI_b < 0, 0, NI_b)
-            # candidates: own neighbors + neighbors-of-neighbors
-            cand_nn = NI_safe[NI_b_safe].reshape(block, kk * kk)
-            cand_nn = jnp.where(
-                (NI_b < 0).repeat(kk, axis=1), -1,
-                jnp.where(valid_ni[NI_b_safe].reshape(block, kk * kk), cand_nn, -1),
-            )
-            cand = jnp.concatenate([NI_b, cand_nn], axis=1)  # (b, C)
-            C = cand.shape[1]
-            cand_safe = jnp.where(cand < 0, 0, cand)
-
-            # jaccard between S_x (b, kk) and S_y (b, C, kk)
-            Sx = jnp.where(NI_b < 0, -2, NI_b)           # pad never matches
-            Sy = NI[cand_safe]                            # (b, C, kk)
-            Sy = jnp.where(valid_ni[cand_safe], Sy, -3)
-            inter = (Sx[:, None, :, None] == Sy[:, :, None, :]).sum((-1, -2))
-            sx_size = set_sizes[jnp.where(row_b < n, row_b, 0)][:, None]
-            sy_size = set_sizes[cand_safe]
-            union = sx_size + sy_size - inter
-            jac_dist = 1.0 - inter / jnp.maximum(union, 1)
-
-            # euclidean in rep space: ‖q−c‖² = |q|² + |c|² − 2 q·c with the
-            # cross-term as a bf16 MXU einsum and |c|² gathered from the
-            # precomputed global norms (f32 accumulate; ~1e-3 relative
-            # error on distances used only to average a bandwidth)
-            c16 = rep16[cand_safe]                       # (b, C, d) bf16
-            cross = jnp.einsum(
-                "bd,bcd->bc", rep_b.astype(jnp.bfloat16), c16,
-                preferred_element_type=jnp.float32,
-            )
-            qsq = (rep_b * rep_b).sum(-1)[:, None]
-            csq = rep_sq[cand_safe]
-            eucl = jnp.sqrt(jnp.maximum(qsq + csq - 2.0 * cross, 0.0))
-
-            score = (N_total - jac_dist * N_total) + (bbox_norm - eucl) / bbox_norm
-            bad = (
-                (cand < 0)
-                | (cand == row_b[:, None])
-                | (jac_dist >= 1.0)
-            )
-            score = jnp.where(bad, N_total + 1.0, score)
-            # prefer-unique: duplicate candidates must not be picked twice.
-            # Oversample the top-k 4×, then dedup only among the winners —
-            # the full-candidate (b, C, C) pairwise compare this replaces
-            # was ~half the kernel's VPU work at C≈400 (duplicates carry
-            # IDENTICAL scores, so copies sort adjacent and surviving-first
-            # reproduces the full dedup unless >3·n_bw of the leading slots
-            # are duplicates — then σ averages over the unique subset).
-            osz = min(C, 4 * n_bw)
-            _, top_idx = jax.lax.top_k(-score, osz)
-            top_c = jnp.take_along_axis(cand, top_idx, axis=1)
-            top_e = jnp.take_along_axis(eucl, top_idx, axis=1)
-            top_bad = (
-                jnp.take_along_axis(score, top_idx, axis=1) >= N_total + 1.0
-            )
-            eq = top_c[:, None, :] == top_c[:, :, None]
-            tri = jnp.tril(jnp.ones((osz, osz), bool), k=-1)
-            dup = (eq & tri[None]).any(-1)
-            invalid = top_bad | dup
-            keep = (~invalid) & (jnp.cumsum(~invalid, axis=1) <= n_bw)
-            cnt = keep.sum(1)
-            # fall back to plain neighbor distances if no valid candidates
-            sig = jnp.where(
-                cnt > 0,
-                (top_e * keep).sum(1) / jnp.maximum(cnt, 1),
-                eucl[:, :kk].mean(1),
+            sig = _bandwidth_block_math(
+                jax, jnp, sl(NI_p), sl(rep_p), row_b, tables,
+                N_total, bbox_norm, n_bw, n,
             )
             return carry, sig
 
@@ -296,6 +334,33 @@ def _bandwidth_fn():
         return sig.reshape(n_pad)[:n]
 
     return f
+
+
+def _theta_block_math(
+    jnp, rows1b, rows2b, rep_full, NI2_full, conv, nnd_full, sigma_full
+):
+    """θ affinity for one row block (reference
+    muon/_core/preproc.py:480-503): r = mean of the FULL mod1 rep over
+    mod2-neighbors; θ = exp(−max(‖x−r‖−nnd,0)/(σ−nnd)). Shared by the
+    single-device kernel (_theta_fn) and the cells-sharded form
+    (parallel/pipeline.sharded_wnn_theta). All ``*_full`` tables are
+    n-sized (replicated under sharding); only the row-id vectors are
+    block-local."""
+    NI2b = NI2_full[rows2b]              # (block, kk) mod2-local
+    valid = NI2b >= 0
+    mapped = conv[jnp.where(valid, NI2b, 0)]   # mod1-local or -1
+    valid = valid & (mapped >= 0)
+    gathered = rep_full[jnp.where(valid, mapped, 0)]  # (b, kk, d)
+    w = valid[..., None].astype(rep_full.dtype)
+    r = (gathered * w).sum(1) / jnp.maximum(w.sum(1), 1.0)
+    q = rep_full[rows1b]
+    nndb = nnd_full[rows1b]
+    sigb = sigma_full[rows1b]
+    dist = jnp.sqrt(jnp.maximum(((q - r) ** 2).sum(-1), 0.0))
+    return jnp.exp(
+        -jnp.maximum(dist - nndb, 0.0)
+        / jnp.maximum(sigb - nndb, 1e-12)
+    )
 
 
 @lru_cache(maxsize=None)
@@ -328,20 +393,9 @@ def _theta_fn():
 
         def body(_, args):
             rows1b, rows2b = args
-            NI2b = NI2_full[rows2b]              # (block, kk) mod2-local
-            valid = NI2b >= 0
-            mapped = conv[jnp.where(valid, NI2b, 0)]   # mod1-local or -1
-            valid = valid & (mapped >= 0)
-            gathered = rep_full[jnp.where(valid, mapped, 0)]  # (b, kk, d)
-            w = valid[..., None].astype(rep_full.dtype)
-            r = (gathered * w).sum(1) / jnp.maximum(w.sum(1), 1.0)
-            q = rep_full[rows1b]
-            nndb = nnd_full[rows1b]
-            sigb = sigma_full[rows1b]
-            dist = jnp.sqrt(jnp.maximum(((q - r) ** 2).sum(-1), 0.0))
-            th = jnp.exp(
-                -jnp.maximum(dist - nndb, 0.0)
-                / jnp.maximum(sigb - nndb, 1e-12)
+            th = _theta_block_math(
+                jnp, rows1b, rows2b, rep_full, NI2_full, conv,
+                nnd_full, sigma_full,
             )
             return _, th
 
@@ -625,12 +679,24 @@ def wnn_neighbors(
         n_loc = rep.shape[0]
         block = max(32, min(1024, (1 << 26) // max(1, NI.shape[1] ** 2 * 4)))
         block = min(block, n_loc)
+        nn_stride = _auto_nn_stride(NI.shape[1])
         with stage(f"wnn/bandwidth[{mod1}]"):
-            sig_dev[mod1] = _bandwidth_fn()(
-                NI_dev[mod1], rep_dev[mod1], float(n_loc), bbox,
-                min(n_bandwidth_neighbors, max(NI.shape[1], 1)), block,
-            )
-            sigmas[mod1] = np.asarray(sig_dev[mod1])
+            if mesh is not None:
+                from ..parallel.pipeline import sharded_wnn_bandwidth
+
+                sigmas[mod1] = sharded_wnn_bandwidth(
+                    NI, rep, mesh,
+                    n_bw=min(n_bandwidth_neighbors, max(NI.shape[1], 1)),
+                    block=block, nn_stride=nn_stride,
+                )
+                sig_dev[mod1] = jnp.asarray(sigmas[mod1])
+            else:
+                sig_dev[mod1] = _bandwidth_fn()(
+                    NI_dev[mod1], rep_dev[mod1], float(n_loc), bbox,
+                    min(n_bandwidth_neighbors, max(NI.shape[1], 1)), block,
+                    nn_stride,
+                )
+                sigmas[mod1] = np.asarray(sig_dev[mod1])
 
         # thetas/currtheta are indexed by mod1-LOCAL row (explicit rows1
         # scatter, not prefix slicing) so partially-overlapping or permuted
@@ -647,17 +713,28 @@ def wnn_neighbors(
             # mod2-local → mod1-local neighbor remap, applied on device
             conv = g2l[mod1][l2g[mod2]].astype(np.int32)
             with stage(f"wnn/theta[{mod1}|{mod2}]"):
-                th = np.asarray(
-                    _theta_fn()(
-                        rep_dev[mod1],
-                        jnp.asarray(rows1.astype(np.int32)),
-                        jnp.asarray(rows2.astype(np.int32)),
-                        NI_dev[mod2],
-                        jnp.asarray(conv),
-                        nnd_dev[mod1],
-                        sig_dev[mod1],
+                if mesh is not None:
+                    from ..parallel.pipeline import sharded_wnn_theta
+
+                    th = sharded_wnn_theta(
+                        reps[mod1].astype(np.float32, copy=False),
+                        rows1.astype(np.int32),
+                        rows2.astype(np.int32),
+                        NIs[mod2], conv,
+                        nnds[mod1], sigmas[mod1], mesh,
                     )
-                )
+                else:
+                    th = np.asarray(
+                        _theta_fn()(
+                            rep_dev[mod1],
+                            jnp.asarray(rows1.astype(np.int32)),
+                            jnp.asarray(rows2.astype(np.int32)),
+                            NI_dev[mod2],
+                            jnp.asarray(conv),
+                            nnd_dev[mod1],
+                            sig_dev[mod1],
+                        )
+                    )
             if i1 == i2:
                 currtheta[rows1] = th
             else:

@@ -35,6 +35,8 @@ __all__ = [
     "sharded_ivf_knn",
     "sharded_umap_embed",
     "sharded_wnn_scores",
+    "sharded_wnn_bandwidth",
+    "sharded_wnn_theta",
     "sharded_values_to_scipy",
 ]
 
@@ -901,6 +903,185 @@ def sharded_umap_embed(
 
 
 @lru_cache(maxsize=None)
+@lru_cache(maxsize=None)
+def _wnn_bandwidth_fn(mesh, R, n_bw, block, n, nn_stride):
+    jax, jnp, shard_map = _jax()
+    Ps = jax.sharding.PartitionSpec
+    from ..ops.wnn import _bandwidth_block_math, _bandwidth_tables
+
+    def body(NI_q, rep_q, rows_q, NI, rep, N_total, bbox_norm):
+        # shard-local: (1, R, kk) query neighbor rows + (1, R, d) query
+        # reps + (1, R) global row ids; the full NI/rep tables stay
+        # replicated (each block gathers 2-hop candidates from anywhere)
+        NI_q, rep_q, rows_q = NI_q[0], rep_q[0], rows_q[0]
+        tables = _bandwidth_tables(jnp, NI, rep, nn_stride)
+        nb = R // block
+
+        def one(_, i):
+            sl = lambda A: jax.lax.dynamic_slice_in_dim(  # noqa: E731
+                A, i * block, block, 0
+            )
+            sig = _bandwidth_block_math(
+                jax, jnp, sl(NI_q), sl(rep_q), sl(rows_q), tables,
+                N_total, bbox_norm, n_bw, n,
+            )
+            return _, sig
+
+        _, sig = jax.lax.scan(one, None, jnp.arange(nb))
+        return sig.reshape(R)[None]
+
+    f = shard_map(
+        body, mesh=mesh,
+        in_specs=(
+            Ps("cells", None, None),   # query NI rows
+            Ps("cells", None, None),   # query rep rows
+            Ps("cells", None),         # global row ids
+            Ps(), Ps(), Ps(), Ps(),    # full tables + scalars replicated
+        ),
+        out_specs=Ps("cells", None),
+        check_vma=False,
+    )
+    return jax.jit(f)
+
+
+def sharded_wnn_bandwidth(
+    NI, rep, mesh, n_bw: int = 20, block: int = 512, nn_stride: int = 1,
+):
+    """Cells-sharded WNN kernel bandwidth σ: query rows are sharded over
+    "cells" while the full neighbor matrix and rep table are replicated
+    (every 2-hop candidate gather may reach any row) — embarrassingly
+    parallel, zero collectives after the broadcast. Single-device
+    counterpart: ops/wnn._bandwidth_fn (same block math, shared via
+    ops/wnn._bandwidth_block_math; reference NN-descent bandwidth search
+    muon/_core/preproc.py:409-471).
+
+    NI (n, kk) int32 neighbor matrix (pad −1); rep (n, d) f32.
+    Returns σ (n,) float32 host array."""
+    jax, jnp, _ = _jax()
+
+    NI = np.asarray(NI)
+    rep = np.asarray(rep, dtype=np.float32)
+    n, kk = NI.shape
+    P = _cells_dim(mesh)
+    block = max(8, min(block, n))
+    R = -(-n // (P * block)) * block
+    n_pad = R * P
+    bbox = float(np.linalg.norm(np.ptp(rep, axis=0), ord=2))
+
+    NI_q = np.full((n_pad, kk), -1, NI.dtype)
+    NI_q[:n] = NI
+    rep_q = np.zeros((n_pad, rep.shape[1]), rep.dtype)
+    rep_q[:n] = rep
+    rows = np.full(n_pad, n, np.int32)
+    rows[:n] = np.arange(n, dtype=np.int32)
+
+    sh3 = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("cells", None, None)
+    )
+    sh2 = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("cells", None)
+    )
+    repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    NI_qj = _put_cells_sharded(
+        jnp.asarray(NI_q.reshape(P, R, kk)), sh3, P, "wnn-bw:NI_q"
+    )
+    rep_qj = _put_cells_sharded(
+        jnp.asarray(rep_q.reshape(P, R, -1)), sh3, P, "wnn-bw:rep_q"
+    )
+    rows_j = _put_cells_sharded(
+        jnp.asarray(rows.reshape(P, R)), sh2, P, "wnn-bw:rows"
+    )
+    NI_r = jax.device_put(jnp.asarray(NI), repl)
+    rep_r = jax.device_put(jnp.asarray(rep), repl)
+
+    f = _wnn_bandwidth_fn(
+        mesh, R, int(n_bw), int(block), int(n), int(nn_stride)
+    )
+    sig = f(NI_qj, rep_qj, rows_j, NI_r, rep_r,
+            jnp.float32(n), jnp.float32(bbox))
+    return np.asarray(sig).reshape(n_pad)[:n]
+
+
+@lru_cache(maxsize=None)
+def _wnn_theta_fn(mesh, R, block):
+    jax, jnp, shard_map = _jax()
+    Ps = jax.sharding.PartitionSpec
+    from ..ops.wnn import _theta_block_math
+
+    def body(rows1, rows2, rep_full, NI2_full, conv, nnd_full, sigma_full):
+        rows1, rows2 = rows1[0], rows2[0]
+        nb = R // block
+
+        def one(_, i):
+            sl = lambda A: jax.lax.dynamic_slice_in_dim(  # noqa: E731
+                A, i * block, block, 0
+            )
+            th = _theta_block_math(
+                jnp, sl(rows1), sl(rows2), rep_full, NI2_full, conv,
+                nnd_full, sigma_full,
+            )
+            return _, th
+
+        _, th = jax.lax.scan(one, None, jnp.arange(nb))
+        return th.reshape(R)[None]
+
+    f = shard_map(
+        body, mesh=mesh,
+        in_specs=(
+            Ps("cells", None), Ps("cells", None),   # row id vectors
+            Ps(), Ps(), Ps(), Ps(), Ps(),           # full tables replicated
+        ),
+        out_specs=Ps("cells", None),
+        check_vma=False,
+    )
+    return jax.jit(f)
+
+
+def sharded_wnn_theta(
+    rep_full, rows1, rows2, NI2_full, conv, nnd_full, sigma_full, mesh,
+    block: int = 8192,
+):
+    """Cells-sharded WNN θ affinity: the (rows1, rows2) work items are
+    sharded over "cells"; the mod1 rep / mod2 neighbor matrix / remap /
+    nnd / σ tables are replicated (the per-row neighbor-mean gathers
+    reach arbitrary rows). Single-device counterpart: ops/wnn._theta_fn
+    (same block math, shared via ops/wnn._theta_block_math; reference
+    muon/_core/preproc.py:480-503).
+
+    Returns θ (m,) float32 host array, m = len(rows1)."""
+    jax, jnp, _ = _jax()
+
+    rows1 = np.asarray(rows1, dtype=np.int32)
+    rows2 = np.asarray(rows2, dtype=np.int32)
+    m = rows1.shape[0]
+    P = _cells_dim(mesh)
+    block = max(8, min(block, max(m, 8)))
+    R = -(-m // (P * block)) * block
+    m_pad = R * P
+
+    r1 = np.zeros(m_pad, np.int32)
+    r1[:m] = rows1
+    r2 = np.zeros(m_pad, np.int32)
+    r2[:m] = rows2
+
+    sh2 = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("cells", None)
+    )
+    repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    r1j = _put_cells_sharded(
+        jnp.asarray(r1.reshape(P, R)), sh2, P, "wnn-theta:rows1"
+    )
+    r2j = _put_cells_sharded(
+        jnp.asarray(r2.reshape(P, R)), sh2, P, "wnn-theta:rows2"
+    )
+    put = lambda A: jax.device_put(jnp.asarray(A), repl)  # noqa: E731
+
+    f = _wnn_theta_fn(mesh, R, int(block))
+    th = f(r1j, r2j, put(rep_full), put(NI2_full), put(conv),
+           put(nnd_full), put(sigma_full))
+    return np.asarray(th).reshape(m_pad)[:m]
+
+
 def _wnn_score_fn(mesh, R, C, dims, metric, k, block):
     jax, jnp, shard_map = _jax()
     Ps = jax.sharding.PartitionSpec

@@ -386,6 +386,72 @@ class TestMultichip:
         stable[:, :-1] &= ~ties
         assert (idx_s[stable] == idx_r[stable]).mean() > 0.999
 
+    def test_sharded_wnn_bandwidth_matches_single_device(self):
+        """Cells-sharded σ bandwidth equals the single-device kernel
+        (shared block math — this checks the sharding plumbing and the
+        global-row-id threading). VERDICT r4 #4: bandwidth was the only
+        WNN phase with no parallel/pipeline form."""
+        import jax.numpy as jnp
+
+        from muon_tpu.ops.wnn import _bandwidth_fn
+        from muon_tpu.parallel import make_mesh
+        from muon_tpu.parallel.pipeline import sharded_wnn_bandwidth
+
+        rng = np.random.default_rng(1)
+        n, kk, d, n_bw, block = 1000, 8, 12, 5, 64
+        rep = rng.normal(size=(n, d)).astype(np.float32)
+        NI = rng.integers(0, n, size=(n, kk)).astype(np.int32)
+        NI[rng.random((n, kk)) < 0.05] = -1  # ragged rows
+
+        mesh = make_mesh(8, feat=1)
+        bbox = float(np.linalg.norm(np.ptp(rep, axis=0), ord=2))
+        for stride in (1, 2):  # full + subsampled candidate pools
+            sig_s = sharded_wnn_bandwidth(
+                NI, rep, mesh, n_bw=n_bw, block=block, nn_stride=stride,
+            )
+            sig_r = np.asarray(
+                _bandwidth_fn()(
+                    jnp.asarray(NI), jnp.asarray(rep), float(n), bbox,
+                    n_bw, block, stride,
+                )
+            )
+            np.testing.assert_allclose(sig_s, sig_r, rtol=1e-5, atol=1e-6)
+
+    def test_sharded_wnn_theta_matches_single_device(self):
+        """Cells-sharded θ affinity equals the single-device kernel,
+        including cross-modality row remapping on a partial overlap."""
+        import jax.numpy as jnp
+
+        from muon_tpu.ops.wnn import _theta_fn
+        from muon_tpu.parallel import make_mesh
+        from muon_tpu.parallel.pipeline import sharded_wnn_theta
+
+        rng = np.random.default_rng(2)
+        n1, n2, kk, d = 900, 700, 6, 10
+        m = 600  # overlapping cells
+        rep = rng.normal(size=(n1, d)).astype(np.float32)
+        NI2 = rng.integers(0, n2, size=(n2, kk)).astype(np.int32)
+        NI2[rng.random((n2, kk)) < 0.1] = -1
+        rows1 = rng.choice(n1, size=m, replace=False).astype(np.int32)
+        rows2 = rng.choice(n2, size=m, replace=False).astype(np.int32)
+        conv = rng.integers(-1, n1, size=n2).astype(np.int32)
+        nnd = np.abs(rng.normal(size=n1)).astype(np.float32) * 0.1
+        sig = nnd + 0.5 + np.abs(rng.normal(size=n1)).astype(np.float32)
+
+        mesh = make_mesh(8, feat=1)
+        th_s = sharded_wnn_theta(
+            rep, rows1, rows2, NI2, conv, nnd, sig, mesh, block=64,
+        )
+
+        th_r = np.asarray(
+            _theta_fn()(
+                jnp.asarray(rep), jnp.asarray(rows1), jnp.asarray(rows2),
+                jnp.asarray(NI2), jnp.asarray(conv), jnp.asarray(nnd),
+                jnp.asarray(sig),
+            )
+        )
+        np.testing.assert_allclose(th_s, th_r, rtol=1e-5, atol=1e-6)
+
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 class TestPublicAPIMesh:
