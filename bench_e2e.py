@@ -352,18 +352,38 @@ def main():
     # MOFA quality gate (VERDICT r4 #3): the factors must actually recover
     # the planted cluster structure, not merely run for 10s — otherwise an
     # undertrained model silently pads the headline. Linear-probe R²:
-    # regress one-hot(labels) on [Z, 1] over a subsample; recovered
-    # structure ⇒ most of the between-cluster variance is explained
-    # (reference test pattern: factor recovery, tests/test_muon_tools.py:25-49).
-    Z = np.asarray(mdata.obsm["X_mofa"], dtype=np.float64)
-    sub = np.random.default_rng(1).choice(N, size=min(N, 100_000), replace=False)
-    Zs = np.column_stack([Z[sub], np.ones(len(sub))])
-    Yoh = np.eye(N_CLUSTERS)[labels[sub]]
-    resid = Yoh - Zs @ np.linalg.lstsq(Zs, Yoh, rcond=None)[0]
-    sst = ((Yoh - Yoh.mean(0)) ** 2).sum()
-    mofa_r2 = float(1.0 - (resid**2).sum() / sst)
-    print(f"[quality] MOFA label-probe R2: {mofa_r2:.3f}", flush=True)
-    assert mofa_r2 > 0.5, f"MOFA undertrained: label-probe R2={mofa_r2:.3f}"
+    # regress one-hot(labels) on [rep, 1] over a subsample (reference test
+    # pattern: factor recovery, tests/test_muon_tools.py:25-49).
+    #
+    # CALIBRATION (exp_mofa_gate.py, smoke scale): converged fits on these
+    # normalized HVG views cap at R²≈0.33 (the views' own ceiling — PCA-15
+    # on them scores 0.17, raw-count views 0.45), while garbage factors
+    # (random Z, dead/NaN W) score ≈0.00. An absolute 0.5 threshold sits
+    # ABOVE the converged ceiling; the discriminating gate is RELATIVE:
+    # factors must be at least as label-informative as the pipeline's own
+    # linear baseline (first K_MOFA PCA comps), plus a floor far above
+    # chance (16 regressors / 100k samples ⇒ chance R² ≈ 0.002).
+    def _label_probe_r2(rep):
+        R = np.asarray(rep, dtype=np.float64)
+        sub = np.random.default_rng(1).choice(
+            N, size=min(N, 100_000), replace=False
+        )
+        Rs = np.column_stack([R[sub], np.ones(len(sub))])
+        Yoh = np.eye(N_CLUSTERS)[labels[sub]]
+        resid = Yoh - Rs @ np.linalg.lstsq(Rs, Yoh, rcond=None)[0]
+        sst = ((Yoh - Yoh.mean(0)) ** 2).sum()
+        return float(1.0 - (resid**2).sum() / sst)
+
+    mofa_r2 = _label_probe_r2(mdata.obsm["X_mofa"])
+    pca_r2 = _label_probe_r2(rna.obsm["X_pca"][:, :K_MOFA])
+    print(
+        f"[quality] MOFA label-probe R2: {mofa_r2:.3f} "
+        f"(pca{K_MOFA} baseline: {pca_r2:.3f})", flush=True,
+    )
+    assert mofa_r2 > max(0.2, 0.8 * pca_r2), (
+        f"MOFA factors degenerate: label-probe R2={mofa_r2:.3f} "
+        f"vs pca{K_MOFA} baseline {pca_r2:.3f}"
+    )
 
     # --- neighbors + fusion + clustering + embedding --------------------
     with timed("neighbors.rna"):
@@ -463,6 +483,7 @@ def main():
         "stages": _stage_times,
         "leiden_ari": round(ari, 3),
         "mofa_label_r2": round(mofa_r2, 3),
+        "pca_label_r2": round(pca_r2, 3),
     }
     print(json.dumps(out), flush=True)
 
