@@ -306,23 +306,26 @@ def _run_dsb(n_cells, n_empty, seed=0):
 def bench_dsb():
     n_cells = 10_000 // _SCALE
     n_empty = 50_000 // _SCALE
-    key = f"clr_dsb_{n_cells}cells_{n_empty}empty_cpu_xla"
+    key = f"clr_dsb_{n_cells}cells_{n_empty}empty_cpu_xla_fullscale"
     cache = _load_cache()
     baseline = cache.get(key)
     if baseline is None:
         # CPU stand-in: the same vmapped-EM XLA program pinned to the CPU
         # backend — conservative vs the reference's per-cell sklearn GMM
         # loop (muon/_prot/preproc.py:189-198), which fits 2 GMMs per cell
-        # in Python
+        # in Python.
+        # Measured at FULL scale (r5 fix): the old n/10-extrapolation
+        # understated the dominant EM term — background_means pads cells to
+        # a power-of-two bucket, so the 1k probe (pad 1024) does 1/16 the
+        # EM work of the 10k run (pad 16384), not 1/10 (exp_dsb_profile.py:
+        # EM is 19.4s of the 21.6s full-scale CPU wall).
         # WARMED like bench_mofa: throwaway compile run first (VERDICT r4 #5)
         import jax
 
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
-            small_c, small_e = max(n_cells // 10, 500), max(n_empty // 10, 2000)
-            _run_dsb(small_c, small_e, seed=1)  # warm-up (compiles)
-            t_small = _run_dsb(small_c, small_e, seed=1)
-        baseline = t_small * (n_cells / max(n_cells // 10, 500))
+            _run_dsb(n_cells, n_empty, seed=1)  # warm-up (compiles)
+            baseline = _run_dsb(n_cells, n_empty, seed=1)
         cache[key] = baseline
         _save_cache(cache)
     _run_dsb(n_cells, n_empty, seed=2)  # warm-up
