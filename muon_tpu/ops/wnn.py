@@ -128,11 +128,12 @@ def single_neighbors(
         # large inputs use the approximate kNN path (bf16 cross-terms +
         # hardware approx top-k, recall ~0.997) — the reference's
         # neighbors are approximate as well (pynndescent NN-descent)
-        idx, dists = knn(
-            rep, n_neighbors - 1, metric=metric, approx=rep.shape[0] > 20000
+        idx_dev, dists_dev = knn(
+            rep, n_neighbors - 1, metric=metric,
+            approx=rep.shape[0] > 20000, device_out=True,
         )
-        idx = np.asarray(idx)
-        dists = np.asarray(dists, dtype=np.float64)
+        idx = np.asarray(idx_dev)
+        dists = np.asarray(dists_dev, dtype=np.float64)
 
     n = adata.n_obs
     k = idx.shape[1]  # n_neighbors incl self
@@ -142,6 +143,32 @@ def single_neighbors(
     cols = idx[:, 1:].reshape(-1)
     vals = dists[:, 1:].reshape(-1)
     dmat = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+    # Device-resident kNN tag: WNN (_load_mod) re-reads this graph as a
+    # fixed-width (n, k−1) index matrix. Tagging the already-computed
+    # result skips the CSR→matrix host rebuild AND — when the kNN ran on
+    # device — the ~160MB/mod re-upload through the tunnel (13.9s/mod
+    # measured in the 1M e2e, round 5). Columns are SORTED to match the
+    # CSR-rebuild path exactly: the bandwidth kernel's σ selection breaks
+    # Jaccard ties by candidate position, so neighbor ORDER (not just the
+    # set) is behavior the fallback path pins.
+    nn_tag = {
+        "n": n,
+        "nnz": int(dmat.nnz),
+        "NI": np.sort(idx[:, 1:].astype(np.int32, copy=False), axis=1),
+        "nnd": dists[:, 1:].min(axis=1).astype(np.float32),
+        "NI_dev": None,
+        "nnd_dev": None,
+    }
+    if mesh is None:
+        import jax.numpy as jnp
+
+        nn_tag["NI_dev"] = jnp.sort(
+            idx_dev[:, 1:].astype(jnp.int32), axis=1
+        )
+        nn_tag["nnd_dev"] = jnp.min(
+            dists_dev[:, 1:].astype(jnp.float32), axis=1
+        )
+    dmat._muon_tpu_knn = nn_tag
 
     if key_added is None:
         key_added, conns_key, dists_key = "neighbors", "connectivities", "distances"
@@ -658,13 +685,33 @@ def wnn_neighbors(
         if mod in NI_dev:
             return
         with stage(f"wnn/upload[{mod}]"):
-            dm = mdata.mod[mod].obsp[
-                neighbors_params[mod]["distances_key"]
-            ].tocsr()
-            NI, nnd = _neighbor_index_matrix(dm)
-            NIs[mod], nnds[mod] = NI, nnd
-            NI_dev[mod] = jnp.asarray(NI)
-            nnd_dev[mod] = jnp.asarray(nnd)
+            dm = mdata.mod[mod].obsp[neighbors_params[mod]["distances_key"]]
+            # single_neighbors tags its own output with the fixed-width
+            # neighbor matrix (host + device copies) — reuse it instead of
+            # rebuilding from CSR and re-uploading ~160MB/mod through the
+            # tunnel. nnz guards against in-place edits of the graph.
+            tag = getattr(dm, "_muon_tpu_knn", None)
+            if (
+                tag is not None
+                and tag["n"] == mdata.mod[mod].n_obs
+                and tag["nnz"] == int(dm.nnz)
+            ):
+                NIs[mod], nnds[mod] = tag["NI"], tag["nnd"]
+                NI_dev[mod] = (
+                    tag["NI_dev"]
+                    if tag["NI_dev"] is not None
+                    else jnp.asarray(tag["NI"])
+                )
+                nnd_dev[mod] = (
+                    tag["nnd_dev"]
+                    if tag["nnd_dev"] is not None
+                    else jnp.asarray(tag["nnd"])
+                )
+            else:
+                NI, nnd = _neighbor_index_matrix(dm.tocsr())
+                NIs[mod], nnds[mod] = NI, nnd
+                NI_dev[mod] = jnp.asarray(NI)
+                nnd_dev[mod] = jnp.asarray(nnd)
             from .device import dense_to_device
 
             rep_dev[mod] = dense_to_device(reps[mod], dtype=jnp.float32)
@@ -764,6 +811,12 @@ def wnn_neighbors(
     # against the padded output silently copied 2.4GB at 1M cells)
     n_dpad = -(-n_global // 131072) * 131072 if n_global > 131072 else n_global
     cand_j = jnp.full((n_dpad, n_mods * m_per), -1, dtype=jnp.int32)
+    # fusion ingredients are retained ON DEVICE (bf16) while each rep is
+    # still resident, so the scoring table below is assembled by device
+    # scatter instead of a 1M×ΣD host build + re-upload (14.4s measured
+    # in the 1M e2e, round 5)
+    fusion_metric = metric if metric in ("euclidean", "cosine") else "euclidean"
+    rep16_dev, sq_dev = {}, {}
     for i, mod in enumerate(modalities):
       with stage(f"wnn/candidates[{mod}]"):
         n_loc_m = reps[mod].shape[0]
@@ -783,9 +836,27 @@ def wnn_neighbors(
             )
             idx = jnp.asarray(idx_h)
         else:
-            idx, _ = knn(rep_dev.pop(mod, reps[mod]), k_cand,
-                         metric=cmetric,
+            rdev = rep_dev.pop(mod, None)
+            if rdev is None:
+                from .device import dense_to_device
+
+                rdev = dense_to_device(reps[mod], dtype=jnp.float32)
+            # keep the fusion-scoring view of this rep (bf16 + row norms)
+            # before the f32 copy is released for HBM headroom
+            if mesh is not None:
+                pass  # sharded fusion consumes host tables below
+            elif fusion_metric == "cosine":
+                nrm = jnp.linalg.norm(rdev, axis=1, keepdims=True)
+                rep16_dev[mod] = (
+                    rdev / jnp.where(nrm == 0, 1.0, nrm)
+                ).astype(jnp.bfloat16)
+                sq_dev[mod] = jnp.ones((n_loc_m,), jnp.float32)
+            else:
+                rep16_dev[mod] = rdev.astype(jnp.bfloat16)
+                sq_dev[mod] = (rdev * rdev).sum(axis=1)
+            idx, _ = knn(rdev, k_cand, metric=cmetric,
                          approx=n_loc_m > 20000, device_out=True)
+            del rdev
         NI_dev.pop(mod, None)  # HBM headroom for the (n, 200) pool
         from .device import unregister_dense
 
@@ -816,30 +887,10 @@ def wnn_neighbors(
     cand_p = _trim_pad_fn()(cand_j, n_pad, maxc)
     del cand_j
     with stage("wnn/fusion"):
-        import ml_dtypes
-
-        fusion_metric = (
-            metric if metric in ("euclidean", "cosine") else "euclidean"
-        )
         Dsum = sum(reps[mod].shape[1] for mod in modalities)
-        cat = np.zeros((n_pad, Dsum), np.float32)
-        aux = np.zeros((n_pad, 2 * n_mods), np.float32)
-        sigw = np.zeros((n_pad, 2 * n_mods), np.float32)
         dims_list, off = [], 0
-        for i, mod in enumerate(modalities):
-            repv = reps[mod]
-            d_m = repv.shape[1]
-            rows = l2g[mod]  # mod-local → global (every entry valid)
-            if fusion_metric == "cosine":
-                nrm = np.linalg.norm(repv, axis=1, keepdims=True)
-                repv = repv / np.where(nrm == 0, 1.0, nrm)
-                aux[rows, i] = 1.0
-            else:
-                aux[rows, i] = (repv * repv).sum(axis=1)
-            cat[rows, off : off + d_m] = repv
-            aux[rows, n_mods + i] = 1.0
-            sigw[rows, i] = sigmas[mod]
-            sigw[:n_global, n_mods + i] = weights[:, i].astype(np.float32)
+        for mod in modalities:
+            d_m = reps[mod].shape[1]
             dims_list.append((off, off + d_m))
             off += d_m
         kfin = min(n_neighbors + 1, maxc)
@@ -847,6 +898,25 @@ def wnn_neighbors(
             # multi-chip: candidate rows sharded over "cells", rep table
             # replicated (parallel/pipeline.sharded_wnn_scores shares
             # _fusion_block_math with the single-device kernel below)
+            import ml_dtypes
+
+            cat = np.zeros((n_pad, Dsum), np.float32)
+            aux = np.zeros((n_pad, 2 * n_mods), np.float32)
+            sigw = np.zeros((n_pad, 2 * n_mods), np.float32)
+            for i, mod in enumerate(modalities):
+                repv = reps[mod]
+                off0, off1 = dims_list[i]
+                rows = l2g[mod]  # mod-local → global (every entry valid)
+                if fusion_metric == "cosine":
+                    nrm = np.linalg.norm(repv, axis=1, keepdims=True)
+                    repv = repv / np.where(nrm == 0, 1.0, nrm)
+                    aux[rows, i] = 1.0
+                else:
+                    aux[rows, i] = (repv * repv).sum(axis=1)
+                cat[rows, off0:off1] = repv
+                aux[rows, n_mods + i] = 1.0
+                sigw[rows, i] = sigmas[mod]
+                sigw[:n_global, n_mods + i] = weights[:, i].astype(np.float32)
             from ..parallel.pipeline import sharded_wnn_scores
 
             cat16_h = cat.astype(ml_dtypes.bfloat16)
@@ -858,12 +928,24 @@ def wnn_neighbors(
             )
             scores_j = None
         else:
-            # bf16 on the wire: halves the 1M×ΣD upload through the tunnel
-            with stage("wnn/upload[fusion]"):
-                cat16 = jnp.asarray(cat.astype(ml_dtypes.bfloat16))
-                del cat
-                aux_j = jnp.asarray(aux)
-                sigw_j = jnp.asarray(sigw)
+            # device-scatter assembly from the bf16 reps kept resident by
+            # the candidate phase — no 1M×ΣD host build or re-upload (the
+            # bf16-wire upload alone was 14.4s at 1M, round-5 e2e)
+            cat16 = jnp.zeros((n_pad, Dsum), jnp.bfloat16)
+            aux_j = jnp.zeros((n_pad, 2 * n_mods), jnp.float32)
+            sigw_j = jnp.zeros((n_pad, 2 * n_mods), jnp.float32)
+            for i, mod in enumerate(modalities):
+                off0, off1 = dims_list[i]
+                rows_d = jnp.asarray(l2g[mod].astype(np.int32))
+                cat16 = cat16.at[rows_d, off0:off1].set(rep16_dev.pop(mod))
+                aux_j = aux_j.at[rows_d, i].set(sq_dev.pop(mod))
+                aux_j = aux_j.at[rows_d, n_mods + i].set(1.0)
+                sigw_j = sigw_j.at[rows_d, i].set(
+                    jnp.asarray(sigmas[mod], jnp.float32)
+                )
+            sigw_j = sigw_j.at[:n_global, n_mods:].set(
+                jnp.asarray(weights.astype(np.float32))
+            )
             scores_j = _fusion_all_fn()(
                 cand_p, cat16, aux_j, sigw_j,
                 block, tuple(dims_list), fusion_metric,

@@ -214,6 +214,33 @@ class TestWNN:
         mu.pp.neighbors(md, add_weights_to_modalities=True)
         assert "mod_weight" in md.mod["m1"].obs.columns
 
+    def test_wnn_knn_tag_fallback_equivalent(self):
+        """single_neighbors tags its obsp distances with the device-resident
+        kNN matrices (round 5: skips ~160MB/mod of tunnel re-uploads in
+        WNN). A graph WITHOUT the tag (external/h5-loaded obsp) must go
+        through the CSR-rebuild fallback and produce an equivalent fused
+        graph — same edges up to fusion-score rounding (bf16 table built on
+        device vs host)."""
+        md, _ = self._make_mdata()
+        for m in md.mod.values():
+            assert hasattr(m.obsp["distances"], "_muon_tpu_knn")
+        mu.pp.neighbors(md)
+        d_tag = md.obsp["distances"].tocsr()
+        w_tag = md.obs["m1:mod_weight"].to_numpy()
+
+        # strip the tags (as an h5mu round-trip would) and rerun
+        for m in md.mod.values():
+            del m.obsp["distances"]._muon_tpu_knn
+        mu.pp.neighbors(md)
+        d_raw = md.obsp["distances"].tocsr()
+        w_raw = md.obs["m1:mod_weight"].to_numpy()
+
+        assert np.allclose(w_tag, w_raw, atol=1e-4)
+        a = {tuple(x) for x in np.array(d_tag.nonzero()).T}
+        b = {tuple(x) for x in np.array(d_raw.nonzero()).T}
+        overlap = len(a & b) / max(len(a | b), 1)
+        assert overlap > 0.98, overlap
+
 
 class TestApproxKnn:
     """The approximate path (bf16 cross-terms + lax.approx_max_k) keeps
