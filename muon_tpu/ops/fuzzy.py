@@ -175,7 +175,17 @@ def compute_connectivities_umap(
         # dense per-row membership table → native one-pass fuzzy union
         vals = np.asarray(_membership_fn()(knn_dists, sigmas, rhos))
         try:
-            return _fuzzy_union_native(idx, vals, n_obs, set_op_mix_ratio)
+            conn = _fuzzy_union_native(idx, vals, n_obs, set_op_mix_ratio)
+            # fixed-width membership tag: umap's spectral init can seed
+            # from this directed (n, k) table entirely on device instead
+            # of re-uploading the union CSR in wire format (~29s at 1M
+            # through the tunnel, round-5 e2e) — see ops/umap.spectral_init
+            conn._muon_tpu_membership = {
+                "idx": idx.astype(np.int32, copy=False),
+                "vals": vals.astype(np.float32, copy=False),
+                "n": n_obs,
+            }
+            return conn
         except Exception:
             pass  # fall through to the scipy path
     rows, cols, vals = membership_strengths(knn_indices, knn_dists, sigmas, rhos)

@@ -71,13 +71,113 @@ def edge_schedule(graph, n_epochs: int):
     return heads, tails, eps, w, dc_exp
 
 
-def spectral_init(graph: sp.csr_matrix, n_components: int, seed: int = 0):
-    """Spectral layout from the normalized graph adjacency, computed with
-    the device randomized SVD over DeviceCOO (TPU-native replacement for
-    umap-learn's ARPACK spectral init)."""
+@lru_cache(maxsize=None)
+def _spectral_membership_fn():
+    jax, jnp = _jax()
+    from .linalg import _cholqr
+
+    @partial(jax.jit, static_argnames=("m", "n_iter"))
+    def f(idx, vals, key, m, n_iter):
+        """Leading eigenvectors of S = D^{-1/2}(W+Wᵀ)D^{-1/2} where W is
+        the directed (n, k) fuzzy-membership table — subspace iteration
+        with CholeskyQR² + a Rayleigh-Ritz step. W·X is a fixed-width
+        gather and Wᵀ·X a segment_sum: no sparse wire format, no host
+        CSR, everything rides the device copy of the (n, k) table."""
+        n, k = idx.shape
+        rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+        v = jnp.where((idx < 0) | (idx == rows), 0.0, vals)
+        safe = jnp.where(idx < 0, 0, idx)
+        deg = v.sum(1) + jax.ops.segment_sum(
+            v.reshape(-1), safe.reshape(-1), num_segments=n
+        )
+        s = jnp.where(deg > 0, 1.0 / jnp.sqrt(jnp.maximum(deg, 1e-30)), 0.0)
+
+        def matvec(Q):
+            X = Q * s[:, None]
+            y1 = (v[..., None] * X[safe]).sum(1)            # W·X
+            y2 = jax.ops.segment_sum(                        # Wᵀ·X
+                (v[..., None] * X[:, None, :]).reshape(n * k, -1),
+                safe.reshape(-1),
+                num_segments=n,
+            )
+            return (y1 + y2) * s[:, None]
+
+        Q = _cholqr(jax.random.normal(key, (n, m), dtype=jnp.float32))
+        # S² per iteration (the symmetric rsvd path it replaces also
+        # applies the operator twice per subspace iteration): quadratic
+        # |λ|-gap amplification — one application per step measurably
+        # under-converges the 3-vector seed at n_iter=4
+        Q = jax.lax.fori_loop(
+            0, n_iter, lambda _, Q: _cholqr(matvec(matvec(Q))), Q
+        )
+        AQ = matvec(Q)
+        lam, V = jnp.linalg.eigh(Q.T @ AQ)                   # ascending
+        order = jnp.argsort(-jnp.abs(lam))
+        return Q @ V[:, order]
+
+    return f
+
+
+def _spectral_postprocess(emb, n_components, seed):
+    """Shared tail of both spectral paths: drop the trivial top
+    eigenvector, expand to the SGD's working scale, add jitter."""
+    emb = np.asarray(emb)[:, 1 : n_components + 1]
+    expansion = 10.0 / max(np.abs(emb).max(), 1e-12)
+    emb = emb * expansion
+    rng = np.random.default_rng(seed)
+    emb = emb + rng.normal(scale=1e-4, size=emb.shape)
+    return emb.astype(np.float32)
+
+
+def spectral_init(
+    graph: sp.csr_matrix,
+    n_components: int,
+    seed: int = 0,
+    membership=None,
+    membership_min_nnz: int = 8_000_000,
+):
+    """Spectral layout from the normalized graph adjacency (TPU-native
+    replacement for umap-learn's ARPACK spectral init,
+    reference delegation point muon/_core/tools.py:1341-1357).
+
+    With a ``membership`` tag (the fixed-width (n, k) directed membership
+    table compute_connectivities_umap attaches to its output) and a graph
+    above ``membership_min_nnz``, the seed comes from the symmetrized
+    membership operator D^{-1/2}(W+Wᵀ)D^{-1/2} entirely on device — no
+    union-CSR wire upload (~29s at 1M×40M-edges through the tunnel) and
+    no host Dm12 scaling pass. Below the gate (every test-scale graph)
+    the exact union-graph path runs, so small-scale behavior is
+    unchanged; at seed scale the two operators differ only by the
+    −W∘Wᵀ union term, which perturbs a LAYOUT SEED that 200 SGD epochs
+    then rework."""
+    n = graph.shape[0]
+    if (
+        membership is not None
+        and membership.get("n") == n
+        and membership["idx"].shape == membership["vals"].shape
+        and graph.nnz >= membership_min_nnz
+    ):
+        import jax
+
+        jnp = _jax()[1]
+        m = min(n_components + 8, n)
+        # 6 S²-iterations measure seed-equivalent to the exact union-rsvd
+        # path (cluster-separation 0.174 vs 0.171 on the probe; 4 iters
+        # reach only 0.22) and each application is one gather + one
+        # segment_sum over the (n, k) table — still ≪ the CSR wire upload
+        U = _spectral_membership_fn()(
+            jnp.asarray(membership["idx"]),
+            jnp.asarray(membership["vals"]),
+            jax.random.PRNGKey(seed),
+            m,
+            6,
+        )
+        return _spectral_postprocess(
+            np.asarray(U[:, : n_components + 1]), n_components, seed
+        )
+
     from .linalg import randomized_svd
 
-    n = graph.shape[0]
     deg = np.asarray(graph.sum(axis=1)).ravel()
     deg[deg == 0] = 1.0
     Dm12 = sp.dia_matrix((1.0 / np.sqrt(deg), 0), shape=(n, n))
@@ -89,14 +189,7 @@ def spectral_init(graph: sp.csr_matrix, n_components: int, seed: int = 0):
     U, s, Vt = randomized_svd(
         A.astype(np.float32), k=k, n_iter=4, seed=seed, symmetric=True
     )
-    U = np.asarray(U)
-    # drop the trivial (constant) top eigenvector
-    emb = U[:, 1 : n_components + 1]
-    expansion = 10.0 / max(np.abs(emb).max(), 1e-12)
-    emb = emb * expansion
-    rng = np.random.default_rng(seed)
-    emb = emb + rng.normal(scale=1e-4, size=emb.shape)
-    return emb.astype(np.float32)
+    return _spectral_postprocess(U, n_components, seed)
 
 
 def _row_bounds(heads_sorted, n):
@@ -484,6 +577,7 @@ def umap_embed(
             emb = spectral_init(
                 sp.csr_matrix(graph), n_components,
                 seed=random_state if isinstance(random_state, int) else 0,
+                membership=getattr(graph, "_muon_tpu_membership", None),
             )
 
     key = jax.random.PRNGKey(random_state if isinstance(random_state, int) else 0)

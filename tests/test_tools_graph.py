@@ -289,6 +289,41 @@ class TestUMAP:
         mu.tl.umap(ad, maxiter=50)
         assert ad.obsm["X_umap"].shape == (ad.n_obs, 2)
 
+    def test_spectral_membership_seed_matches_union_seed(
+        self, mdata_clusters
+    ):
+        """The device membership-operator spectral seed (gated to >8M-edge
+        graphs in production; forced here via membership_min_nnz=0) must
+        separate planted clusters like the exact union-graph rsvd seed —
+        the two operators differ only by the −W∘Wᵀ union term."""
+        from scipy.spatial.distance import cdist
+
+        from muon_tpu.ops.umap import spectral_init
+
+        md, labels = mdata_clusters
+        ad = md.mod["m1"]
+        conn = ad.obsp["connectivities"]
+        tag = getattr(conn, "_muon_tpu_membership", None)
+        assert tag is not None, "compute_connectivities_umap must tag"
+
+        def sep(emb):
+            D = cdist(emb, emb)
+            same = labels[:, None] == labels[None, :]
+            np.fill_diagonal(same, False)
+            return D[same].mean() / D[~same].mean()
+
+        fast = spectral_init(
+            conn.tocsr(), 2, seed=3, membership=tag, membership_min_nnz=0
+        )
+        ref = spectral_init(conn.tocsr(), 2, seed=3)
+        assert fast.shape == ref.shape == (ad.n_obs, 2)
+        assert np.isfinite(fast).all()
+        r_fast, r_ref = sep(fast), sep(ref)
+        # both seeds separate clusters; the membership seed may not beat
+        # the exact one but must stay in its quality class
+        assert r_ref < 0.8
+        assert r_fast < max(0.8, 1.3 * r_ref), (r_fast, r_ref)
+
 
 class TestICA:
     def test_ica(self):
