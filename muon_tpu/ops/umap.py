@@ -528,6 +528,10 @@ def umap_embed(
     from ..utils.profiling import stage
 
     n = graph.shape[0]
+    # capture the membership tag BEFORE the tocoo() rebind below drops it
+    # (round-5 regression: the 1M e2e silently fell back to the union-CSR
+    # spectral path because getattr ran on the COO copy)
+    membership_tag = getattr(graph, "_muon_tpu_membership", None)
     graph = graph.tocoo()
     if a is None or b is None:
         a, b = find_ab_params(spread, min_dist)
@@ -577,7 +581,7 @@ def umap_embed(
             emb = spectral_init(
                 sp.csr_matrix(graph), n_components,
                 seed=random_state if isinstance(random_state, int) else 0,
-                membership=getattr(graph, "_muon_tpu_membership", None),
+                membership=membership_tag,
             )
 
     key = jax.random.PRNGKey(random_state if isinstance(random_state, int) else 0)

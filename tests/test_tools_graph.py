@@ -324,6 +324,33 @@ class TestUMAP:
         assert r_ref < 0.8
         assert r_fast < max(0.8, 1.3 * r_ref), (r_fast, r_ref)
 
+    def test_membership_tag_reaches_spectral_init(
+        self, mdata_clusters, monkeypatch
+    ):
+        """Regression: umap_embed rebinds graph to a COO copy before the
+        spectral branch; the membership tag must be captured from the
+        ORIGINAL matrix or the seed silently falls back to the union-CSR
+        path (which is what happened in the first 1M e2e at the spectral
+        commit)."""
+        from muon_tpu.ops import umap as umap_mod
+
+        md, _ = mdata_clusters
+        ad = md.mod["m1"]
+        conn = ad.obsp["connectivities"]
+        assert hasattr(conn, "_muon_tpu_membership")
+
+        seen = {}
+        real = umap_mod.spectral_init
+
+        def spy(graph, n_components, seed=0, membership=None, **kw):
+            seen["membership"] = membership
+            return real(graph, n_components, seed=seed)
+
+        monkeypatch.setattr(umap_mod, "spectral_init", spy)
+        umap_mod.umap_embed(conn.tocsr(), n_epochs=5)
+        assert seen["membership"] is not None
+        assert seen["membership"]["n"] == ad.n_obs
+
 
 class TestICA:
     def test_ica(self):
